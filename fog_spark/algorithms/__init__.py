@@ -1,0 +1,7 @@
+from fog_spark.algorithms.pagerank import pagerank_fog, pagerank_standard  # noqa: F401
+from fog_spark.algorithms.cc import connected_components  # noqa: F401
+from fog_spark.algorithms.bfs import bfs_levels  # noqa: F401
+from fog_spark.algorithms.sssp import sssp  # noqa: F401
+from fog_spark.algorithms.lpa import label_propagation  # noqa: F401
+from fog_spark.algorithms.triangles import triangle_counts  # noqa: F401
+from fog_spark.algorithms.spmv import spmv  # noqa: F401

@@ -1,0 +1,62 @@
+"""BFS levels (TARGET engine pattern).
+
+Reference semantics (application/bfs.hpp:38-100): level(root)=0, all
+others the u32 sentinel 4294967295; scatter level+1 along out-edges
+(self-loops skipped, fogsrc/cpu_thread.cpp:236-240); gather = MIN;
+re-activate improved vertices; stop on empty frontier. Default root 0
+(headers/options_utils.h:45-46).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from fog_spark.engine.superstep import materialize, vertices_of, with_frontier_hint
+
+UNREACHED = 4294967295
+
+
+def bfs_levels(
+    edges: DataFrame,
+    root: int = 0,
+    vertices: DataFrame | None = None,
+    max_iters: int = 10_000,
+    ctx=None,
+) -> DataFrame:
+    """Returns (id, level); unreached vertices carry the 4294967295 sentinel."""
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+
+    state = vertices.select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(UNREACHED)).cast("long").alias("level"),
+        (F.col("id") == root).alias("changed"),
+    )
+    state = materialize(state, ctx, 0)
+    active = 1
+
+    for step in range(1, max_iters + 1):
+        if active == 0:
+            break
+        t0 = time.time()
+        frontier = with_frontier_hint(state.filter("changed").select("id", "level"), active)
+        msgs = fwd.join(frontier, fwd["src"] == frontier["id"]).select(
+            fwd["dst"], (F.col("level") + 1).alias("cand")
+        )
+        agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
+        state = (
+            state.join(agg, state["id"] == agg["dst"], "left")
+            .select(
+                "id",
+                F.least("level", F.coalesce("cand", F.col("level"))).alias("level"),
+                (F.coalesce("cand", F.col("level")) < F.col("level")).alias("changed"),
+            )
+        )
+        state = materialize(state, ctx, step)
+        active = state.filter("changed").count()
+        if ctx is not None:
+            ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+
+    return state.select("id", "level")

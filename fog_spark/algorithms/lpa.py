@@ -1,0 +1,64 @@
+"""Synchronous label propagation (LPA).
+
+Not in FOG (its TODO lists community detection as future work,
+TODO.list); defined per SURVEY §2.8 in FOG's vertex-centric vocabulary:
+scatter own label along the symmetrized edge table; gather = mode of
+neighbor labels with ties broken toward the smallest label; synchronous
+rounds; stop at fixed point or max_iters (synchronous LPA can 2-cycle
+on bipartite structures, so a cap is part of the semantics).
+
+The mode gather is two aggregations — groupBy(dst, label).count() then
+argmax per dst — both map-side combinable. The argmax-with-tiebreak is
+one MIN over struct(-count, label): lexicographic struct ordering gives
+"highest count, then smallest label" with no window function and no
+second shuffle (the second groupBy reuses the first's hash partitioning
+on dst prefix via AQE).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from fog_spark.engine.superstep import materialize, symmetrize, vertices_of
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 20,
+    ctx=None,
+) -> DataFrame:
+    """Returns (id, label). Isolated vertices keep their own id."""
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    # mode counts must not double-count duplicate (src,dst) pairs
+    sym = symmetrize(edges).distinct()
+
+    state = vertices.select("id", F.col("id").alias("label"))
+    state = materialize(state, ctx, 0)
+
+    for step in range(1, max_iters + 1):
+        t0 = time.time()
+        msgs = sym.join(state, sym["src"] == state["id"]).select(sym["dst"], "label")
+        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        best = counts.groupBy("dst").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lbl"))).alias("b")
+        ).select("dst", F.col("b.lbl").alias("new_label"))
+        state = (
+            state.join(best, state["id"] == best["dst"], "left")
+            .select(
+                "id",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+                (F.coalesce("new_label", F.col("label")) != F.col("label")).alias("changed"),
+            )
+        )
+        state = materialize(state, ctx, step)
+        changed = state.filter("changed").count()
+        state = state.select("id", "label")
+        if ctx is not None:
+            ctx.commit(step, active=changed, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+        if changed == 0:
+            break
+
+    return state.select("id", "label")

@@ -1,0 +1,205 @@
+"""PageRank — two modes, two kernels.
+
+Modes
+-----
+- **FOG mode** (the correctness oracle): the reference's exact —
+  non-standard — recurrence, traced in SURVEY §2.8 from
+  application/pagerank.hpp:62-77,102-106 + fogsrc/cpu_thread.cpp:509-534:
+
+      rank_0(v) = 1.0
+      rank_k(v) = rank_{k-1}(v) + Σ_{u→v} [ d·rank_{k-1}(u)/outdeg(u) + (1−d) ]
+
+  The attribute accumulates (gather is ``+=`` and init runs once), the
+  (1−d) term is per IN-EDGE, self-loops participate (GLOBAL scatter has
+  no self-loop filter), and vertices with no in-edges keep their rank.
+  Fixed iteration count (default 10, headers/options_utils.h:40-41).
+
+- **Standard mode** (the bench/convergence target): normalized PageRank
+  with uniform dangling-mass redistribution, iterated until
+  max_v |rank_k − rank_{k−1}| < tol (north_rule: 1e-6).
+
+Kernels
+-------
+- ``kernel="df"``: pure DataFrame ops — scatter join + partial-hash-agg
+  shuffle, whole-stage-codegen'd, zero Python in the loop.
+- ``kernel="csr"``: the north_star's CSR-packed path — edges and state
+  are co-partitioned by hash(src), and a cogrouped Arrow pandas UDF
+  packs the partition's adjacency into NumPy CSR arrays, computes all
+  messages vectorized, and PRE-AGGREGATES them by dst before the
+  shuffle (np.bincount = map-side combine). No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from fog_spark.engine.superstep import materialize, vertices_of
+
+DAMPING = 0.85  # application/pagerank.hpp:22
+
+
+def _degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        vertices.join(deg, vertices["id"] == deg["src"], "left")
+        .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# FOG mode
+# ---------------------------------------------------------------------------
+
+
+def pagerank_fog(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    niters: int = 10,
+    d: float = DAMPING,
+    ctx=None,
+    kernel: str = "df",
+    n_kernel_parts: int | None = None,
+) -> DataFrame:
+    """FOG-mode accumulating PageRank. Returns (id, rank)."""
+    spark = edges.sparkSession
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    state = _degrees(edges, vertices).withColumn("rank", F.lit(1.0))
+
+    start_step = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_step, state = rp
+
+    if kernel == "csr":
+        nparts = n_kernel_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        edges_b = edges.withColumn("pkey", F.pmod(F.hash("src"), F.lit(nparts))).persist()
+        edges_b.count()
+
+    state = materialize(state, ctx, start_step) if ctx else state.localCheckpoint(eager=True)
+
+    for step in range(start_step + 1, niters + 1):
+        t0 = time.time()
+        if kernel == "csr":
+            agg = _csr_scatter_fog(edges_b, state, nparts, d).groupBy("dst").agg(
+                F.sum("partial").alias("incoming")
+            )
+        else:
+            msg = (d * F.col("rank") / F.col("outdeg") + (1.0 - d)).alias("msg")
+            msgs = edges.join(state, edges["src"] == state["id"]).select(edges["dst"], msg)
+            agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
+        state = (
+            state.join(agg, state["id"] == agg["dst"], "left")
+            .select("id", "outdeg", (F.col("rank") + F.coalesce("incoming", F.lit(0.0))).alias("rank"))
+        )
+        state = materialize(state, ctx, step)
+        if ctx is not None:
+            ctx.commit(step, active=-1, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+
+    if kernel == "csr":
+        edges_b.unpersist()
+    return state.select("id", "rank")
+
+
+_CSR_OUT = T.StructType(
+    [T.StructField("dst", T.LongType()), T.StructField("partial", T.DoubleType())]
+)
+
+
+def _csr_scatter_fog(edges_b: DataFrame, state: DataFrame, nparts: int, d: float) -> DataFrame:
+    """Cogrouped pandas-UDF scatter with per-partition CSR pack + map-side combine.
+
+    Replaces FOG's per-CPU update buffers (fogsrc/cpu_thread.cpp:290-306):
+    each partition emits at most one row per distinct dst it touches.
+    """
+    st = state.withColumn("pkey", F.pmod(F.hash("id"), F.lit(nparts)))
+
+    def scatter(edf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if edf.empty or sdf.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
+        # CSR pack: sort edges by src, slice boundaries via np.unique
+        order = np.argsort(edf["src"].to_numpy(), kind="stable")
+        src = edf["src"].to_numpy()[order]
+        dst = edf["dst"].to_numpy()[order]
+        # vertex dictionary for this partition's state block
+        sid = sdf["id"].to_numpy()
+        rank = sdf["rank"].to_numpy()
+        outdeg = sdf["outdeg"].to_numpy().astype(np.float64)
+        # map each edge's src to its state row (ids are co-partitioned by pkey)
+        pos = np.searchsorted(sid, src, sorter=np.argsort(sid))
+        sorter = np.argsort(sid)
+        rank_e = rank[sorter][pos]
+        deg_e = outdeg[sorter][pos]
+        msg = d * rank_e / deg_e + (1.0 - d)
+        # map-side combine: partial-sum by dst inside the partition
+        udst, inv = np.unique(dst, return_inverse=True)
+        partial = np.bincount(inv, weights=msg)
+        return pd.DataFrame({"dst": udst.astype(np.int64), "partial": partial})
+
+    return (
+        edges_b.groupby("pkey")
+        .cogroup(st.groupby("pkey"))
+        .applyInPandas(scatter, schema=_CSR_OUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard mode (normalized, convergent)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_standard(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    d: float = DAMPING,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+    ctx=None,
+) -> tuple[DataFrame, int]:
+    """Normalized PageRank to tol; returns ((id, rank), iterations_run).
+
+    One agg job per superstep computes BOTH the convergence delta and the
+    next iteration's dangling mass, so the driver loop costs exactly one
+    extra small job over the shuffle itself.
+    """
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
+    n = state.count()
+    state = state.withColumn("rank", F.lit(1.0 / n))
+    state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
+
+    # scalar pass: dangling mass of r_0
+    dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+
+    it = 0
+    for it in range(1, max_iters + 1):
+        t0 = time.time()
+        msgs = edges.join(state, edges["src"] == state["id"]).select(
+            edges["dst"], (F.col("rank") / F.col("outdeg")).alias("msg")
+        )
+        agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
+        state = (
+            state.join(agg, state["id"] == agg["dst"], "left")
+            .select(
+                "id",
+                "outdeg",
+                F.col("rank").alias("prev"),
+                ((1.0 - d) / n + d * (F.coalesce("contrib", F.lit(0.0)) + dangling / n)).alias("rank"),
+            )
+        )
+        state = materialize(state, ctx, it)
+        row = state.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+            F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+        ).collect()[0]
+        delta, dangling = float(row["delta"]), float(row["dangling"] or 0.0)
+        if ctx is not None:
+            ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+        if delta < tol:
+            break
+    return state.select("id", "rank"), it

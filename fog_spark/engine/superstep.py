@@ -1,0 +1,83 @@
+"""Shared building blocks of the scatter-gather superstep.
+
+The superstep (reference: fogsrc/fog_engine.cpp:91-243's
+scatter_updates/gather_updates cycle) maps onto one Spark job:
+
+    messages = (frontier ⨝) state ⨝ edges    -- scatter (J1, SURVEY §2.3)
+    agg      = messages.groupBy(dst).agg(..) -- gather  (J2 + §2.4 folds)
+    state'   = state ⟕ agg                   -- merge (left-outer: untouched
+                                                vertices keep their state,
+                                                reference cpu_thread.cpp:650-676)
+
+Physical notes (the part FOG does by hand that Spark gives us):
+
+- FOG materializes EVERY per-edge update before gathering (no map-side
+  combine, cpu_thread.cpp:295-306). Spark's partial hash aggregation is
+  a strict improvement we get for free — the shuffle carries one partial
+  per (map partition, dst), not one row per edge.
+- Pre-shuffling the edge table once by join key and caching it
+  (``prepare_edges``) keeps the big side of the scatter join exchange-free
+  across all supersteps: only the small state/frontier side moves.
+- Iterative plans MUST cut lineage every superstep (``materialize``) or
+  the logical plan doubles per iteration and the driver melts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Below this many active vertices, hint the frontier join to broadcast
+# (replaces FOG's bitmap fast path, fogsrc/fog_engine.cpp:560-568).
+BROADCAST_FRONTIER_MAX = 2_000_000
+
+
+def prepare_edges(edges: DataFrame, key: str = "src", partitions: int | None = None) -> DataFrame:
+    """Hash-partition the edge table by the scatter join key and cache it.
+
+    At cluster scale this is the moral equivalent of bucketing the edges
+    table: every superstep's state⨝edges sort-merge join then reuses the
+    cached partitioning and only exchanges the (much smaller) state side.
+    """
+    spark = edges.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = edges.repartition(n, key).persist()
+    out.count()  # materialize the cache eagerly
+    return out
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """Distinct vertex ids appearing on either side of any edge."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def materialize(df: DataFrame, ctx=None, step: int | None = None, name: str = "state") -> DataFrame:
+    """Cut lineage. With a RunContext: durable parquet checkpoint (resume
+    point, replaces FOG's .attr write-back fog_engine.cpp:245-261);
+    without: eager localCheckpoint (fast, non-durable).
+    """
+    if ctx is not None and step is not None:
+        return ctx.write_state(df, step, name=name)
+    return df.localCheckpoint(eager=True)
+
+
+def with_frontier_hint(frontier: DataFrame, active_count: int) -> DataFrame:
+    """Broadcast the frontier when it fits (north_star requirement)."""
+    if 0 <= active_count <= BROADCAST_FRONTIER_MAX:
+        return F.broadcast(frontier)
+    return frontier
+
+
+def symmetrize(edges: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+    """edges ∪ reverse(edges) — one pass per round then equals FOG's
+    forward+backward alternation for WCC (SURVEY §2.6 I4). Duplicate
+    pairs are kept: they are harmless under MIN/mode gathers and a
+    distinct() would cost an extra shuffle.
+    """
+    e = edges.select("src", "dst")
+    if drop_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

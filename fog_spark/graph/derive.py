@@ -1,0 +1,175 @@
+"""Edge derivation: source-code repository table -> link graph.
+
+Replaces FOG's ``convert`` program (reference: convert/convert.cpp,
+process_edgelist.cpp — SNAP text to binary CSR). Our input is the
+north_rule's Iceberg-shaped table ``(repo, path, commit, lang, content)``
+and the "parse" is import/include extraction; the CSR materialization
+disappears entirely (the edge DataFrame + hash partitioning IS the
+storage format; per-partition CSR is packed at runtime inside the
+pandas-UDF kernels, see algorithms/pagerank._csr_scatter_fog).
+
+Scale notes:
+- extraction runs JVM-side via regexp_extract_all (whole-stage codegen;
+  a pandas-UDF variant exists for parity testing and for grammars regex
+  can't express);
+- reference resolution is an equi-join against the file index on
+  (repo, dst_path) — broadcastable per-repo, shuffle join globally;
+- dense vertex ids avoid both a global window sort and nondeterministic
+  zipWithIndex: range-partition by (repo, path), then per-partition
+  row_number + an exact prefix-sum of partition counts (two jobs total,
+  no single-task bottleneck at 10^12 files).
+- the per-row invariant sha256(content) (BASELINE.json input_hint) is
+  computed with the built-in sha2 and verified by tests before/after
+  every stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+IMPORT_RE_PY = r"(?m)^(?:import\s+(\w+)|from\s+(\w+)\s+import)"
+INCLUDE_RE_C = r"(?m)^#include\s+\"([^\"]+)\""
+
+
+def with_content_sha(repos: DataFrame) -> DataFrame:
+    return repos.withColumn("content_sha", F.sha2("content", 256))
+
+
+def _extract_refs_builtin(repos: DataFrame) -> DataFrame:
+    """(repo, path, dst_path) via JVM regexp — the fast path."""
+    py = (
+        repos.filter(F.col("lang") == "python")
+        .select(
+            "repo",
+            "path",
+            F.explode(
+                F.concat(
+                    F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(1)),
+                    F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(2)),
+                )
+            ).alias("mod"),
+        )
+        .filter(F.col("mod") != "")
+        .select("repo", "path", F.concat(F.lit("src/"), F.col("mod"), F.lit(".py")).alias("dst_path"))
+    )
+    c = (
+        repos.filter(F.col("lang").isin("c", "cpp"))
+        .select(
+            "repo",
+            "path",
+            F.explode(F.regexp_extract_all(F.col("content"), F.lit(INCLUDE_RE_C), F.lit(1))).alias("hdr"),
+        )
+        .select("repo", "path", F.concat(F.lit("src/"), F.col("hdr")).alias("dst_path"))
+    )
+    return py.unionByName(c)
+
+
+_REFS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("dst_path", T.StringType()),
+    ]
+)
+
+
+def _extract_refs_pandas(repos: DataFrame) -> DataFrame:
+    """Arrow-vectorized pandas-UDF extraction (no per-row Python loops;
+    pandas .str ops are vectorized over the whole Arrow batch). Kept for
+    parity tests and for languages whose reference grammar outgrows a
+    single regex."""
+    import re
+
+    py_re = re.compile(r"^(?:import\s+(\w+)|from\s+(\w+)\s+import)", re.M)
+    c_re = re.compile(r"^#include\s+\"([^\"]+)\"", re.M)
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            is_py = pdf["lang"] == "python"
+            for mask, rex, fmt in ((is_py, py_re, "src/{}.py"), (~is_py, c_re, "src/{}")):
+                sub = pdf[mask]
+                if sub.empty:
+                    continue
+                found = sub["content"].str.findall(rex)
+                lens = found.map(len)
+                nz = lens > 0
+                if not nz.any():
+                    continue
+                exploded = found[nz].explode()
+                mods = exploded.map(lambda m: next(g for g in (m if isinstance(m, tuple) else (m,)) if g))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "repo": sub["repo"][nz].repeat(lens[nz]).values,
+                            "path": sub["path"][nz].repeat(lens[nz]).values,
+                            "dst_path": mods.map(fmt.format).values,
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"repo": [], "path": [], "dst_path": []}
+            )
+
+    return repos.select("repo", "path", "lang", "content").mapInPandas(extract, schema=_REFS_SCHEMA)
+
+
+def assign_dense_ids(files: DataFrame, partitions: int | None = None) -> DataFrame:
+    """(repo, path) -> dense int64 ``id``, deterministic by (repo, path) order.
+
+    Range-partition + per-partition row_number + exact partition-count
+    prefix sum: O(1) driver state, no global single-partition window.
+    """
+    spark = files.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        files.select("repo", "path")
+        .distinct()
+        .repartitionByRange(n, "repo", "path")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze the sampled range boundaries
+    )
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy("repo", "path")
+    return parted.select(
+        "repo",
+        "path",
+        (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long").alias("id"),
+    )
+
+
+@dataclass
+class DerivedGraph:
+    files: DataFrame  # (repo, path, id)
+    edges: DataFrame  # (src, dst, weight)
+    vertices: DataFrame  # (id)
+
+
+def derive_graph(repos: DataFrame, extractor: str = "builtin") -> DerivedGraph:
+    """Full convert-replacement: repos table -> (files, edges, vertices)."""
+    refs = _extract_refs_builtin(repos) if extractor == "builtin" else _extract_refs_pandas(repos)
+    files = assign_dense_ids(repos)
+    # rename-before-join: files descends from the same plan as refs, so
+    # unaliased column references would collapse to trivially-true
+    # self-comparisons (repo#N = repo#N) and silently cross-join repos.
+    src_ix = files.select(F.col("repo").alias("_sr"), F.col("path").alias("_sp"), F.col("id").alias("src"))
+    dst_ix = files.select(F.col("repo").alias("_dr"), F.col("path").alias("_dp"), F.col("id").alias("dst"))
+    edges = (
+        refs.join(src_ix, (F.col("repo") == F.col("_sr")) & (F.col("path") == F.col("_sp")))
+        .join(dst_ix, (F.col("repo") == F.col("_dr")) & (F.col("dst_path") == F.col("_dp")))
+        .select(
+            "src",
+            "dst",
+            (((F.col("src") * 31 + F.col("dst")) % 90 + 10) / 10.0).alias("weight"),
+        )
+        .distinct()
+    )
+    return DerivedGraph(files=files, edges=edges, vertices=files.select("id"))

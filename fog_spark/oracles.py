@@ -1,0 +1,189 @@
+"""Pure-NumPy reference implementations of the §2.8 golden recurrences.
+
+These pin the reference's exact semantics — including its quirks — so the
+Spark engine can be tested to allclose(1e-6)/exact without running the
+C++ reference:
+
+- FOG-mode PageRank accumulates into the previous rank and applies the
+  (1-d) term PER IN-EDGE (reference: application/pagerank.hpp:62-77,
+  102-106; gather is `+=` only, attr never reset between iterations).
+  Self-loops participate (GLOBAL scatter has no self-loop filter,
+  fogsrc/cpu_thread.cpp:509-534).
+- TARGET-engine traversals (BFS/SSSP/CC) skip self-loops
+  (fogsrc/cpu_thread.cpp:236-240).
+- SSSP uses an epsilon=1e-3 improvement guard (headers/types.hpp:17-19,
+  application/sssp.hpp:95-106).
+- BFS unreached sentinel is 4294967295 (application/bfs.hpp:48).
+
+All functions take an (m,2) int64 edge array + vertex count n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UNREACHED = 4294967295
+
+
+def out_degrees(edges: np.ndarray, n: int) -> np.ndarray:
+    return np.bincount(edges[:, 0], minlength=n).astype(np.int64)
+
+
+def pagerank_fog(edges: np.ndarray, n: int, niters: int = 10, d: float = 0.85) -> np.ndarray:
+    """FOG-mode accumulating PageRank: rank_k = rank_{k-1} + sum_in(d*r/deg + (1-d))."""
+    deg = out_degrees(edges, n).astype(np.float64)
+    rank = np.ones(n, dtype=np.float64)
+    src, dst = edges[:, 0], edges[:, 1]
+    for _ in range(niters):
+        msg = d * rank[src] / deg[src] + (1.0 - d)
+        incoming = np.zeros(n, dtype=np.float64)
+        np.add.at(incoming, dst, msg)
+        rank = rank + incoming
+    return rank
+
+
+def pagerank_standard(
+    edges: np.ndarray, n: int, d: float = 0.85, tol: float = 1e-6, max_iters: int = 200
+) -> tuple[np.ndarray, int]:
+    """Normalized PageRank with uniform dangling redistribution, to tol."""
+    deg = out_degrees(edges, n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    src, dst = edges[:, 0], edges[:, 1]
+    dangling = deg == 0
+    for it in range(1, max_iters + 1):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / deg[src])
+        new = (1.0 - d) / n + d * (contrib + rank[dangling].sum() / n)
+        delta = np.abs(new - rank).max()
+        rank = new
+        if delta < tol:
+            return rank, it
+    return rank, max_iters
+
+
+def wcc(edges: np.ndarray, n: int) -> np.ndarray:
+    """min-vertex-id label per weakly-connected component (union-find)."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in edges:
+        rs, rt = find(int(s)), find(int(t))
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    return np.asarray([find(i) for i in range(n)], dtype=np.int64)
+
+
+def bfs(edges: np.ndarray, n: int, root: int = 0) -> np.ndarray:
+    """Directed BFS levels along out-edges; self-loops skipped (TARGET rule)."""
+    e = edges[edges[:, 0] != edges[:, 1]]
+    level = np.full(n, UNREACHED, dtype=np.int64)
+    level[root] = 0
+    frontier = {root}
+    adj: dict[int, list[int]] = {}
+    for s, t in e:
+        adj.setdefault(int(s), []).append(int(t))
+    cur = 0
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if level[v] > cur + 1:
+                    level[v] = cur + 1
+                    nxt.add(v)
+        frontier, cur = nxt, cur + 1
+    return level
+
+
+def sssp_fog(
+    edges: np.ndarray, weights: np.ndarray, n: int, source: int = 0, eps: float = 1e-3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bellman-Ford with FOG's epsilon guard: absorb iff new < old AND |new-old| > eps.
+
+    Deterministic tie-break: among equal-improving relaxations in one
+    round, take the smallest (dist, pred) pair — mirrors the engine's
+    min(struct(dist, pred)) gather.
+    """
+    mask = edges[:, 0] != edges[:, 1]
+    e, w = edges[mask], weights[mask]
+    dist = np.full(n, np.inf)
+    pred = np.full(n, -1, dtype=np.int64)
+    dist[source] = 0.0
+    active = {source}
+    while active:
+        best: dict[int, tuple[float, int]] = {}
+        for (s, t), wt in zip(e, w):
+            s, t = int(s), int(t)
+            if s in active and np.isfinite(dist[s]):
+                cand = (dist[s] + wt, s)
+                if t not in best or cand < best[t]:
+                    best[t] = cand
+        nxt = set()
+        for t, (dv, pv) in best.items():
+            if dv < dist[t] and abs(dv - dist[t]) > eps:
+                dist[t], pred[t] = dv, pv
+                nxt.add(t)
+        active = nxt
+    return dist, pred
+
+
+def lpa(edges: np.ndarray, n: int, max_iters: int = 20) -> np.ndarray:
+    """Synchronous label propagation over the symmetrized graph.
+
+    label_k(v) = most frequent label among neighbors (ties -> smallest
+    label); isolated vertices keep their own id. Stops at fixed point or
+    max_iters.
+    """
+    sym = np.concatenate([edges, edges[:, ::-1]])
+    sym = sym[sym[:, 0] != sym[:, 1]]
+    sym = np.unique(sym, axis=0)
+    labels = np.arange(n, dtype=np.int64)
+    adj: dict[int, list[int]] = {}
+    for s, t in sym:
+        adj.setdefault(int(s), []).append(int(t))
+    for _ in range(max_iters):
+        new = labels.copy()
+        for v, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def triangles(edges: np.ndarray, n: int) -> tuple[np.ndarray, int]:
+    """Exact per-vertex and total triangle counts on the simple undirected graph."""
+    und = set()
+    for s, t in edges:
+        s, t = int(s), int(t)
+        if s != t:
+            und.add((min(s, t), max(s, t)))
+    nbrs: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    per = np.zeros(n, dtype=np.int64)
+    total = 0
+    for a, b in und:  # a < b; counting c > b visits each triangle exactly once
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:
+                per[a] += 1
+                per[b] += 1
+                per[c] += 1
+                total += 1
+    return per, total
+
+
+def spmv(edges: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
+    """One iteration: y(v) = sum_{u->v} x(u) * w(u,v) with x=1 (application/spmv.hpp:86-90)."""
+    y = np.zeros(n)
+    np.add.at(y, edges[:, 1], 1.0 * weights)
+    return y
