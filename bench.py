@@ -1,0 +1,100 @@
+"""Headline benchmark: one JSON line for the round driver.
+
+Runs the north-rule algorithm suite on the part co-occurrence link
+graph derived from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+plus the pipeline headliners, on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py and recorded in BASELINE.md — one JVM per
+parallelism level, so it cannot share this process.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from fog_spark.algorithms.cc import connected_components
+from fog_spark.algorithms.lpa import label_propagation
+from fog_spark.algorithms.pagerank import pagerank_standard
+from fog_spark.algorithms.triangles import triangle_total
+from fog_spark.datapipe.dedup import minhash_lsh_candidates
+from fog_spark.queries import cooccur_edges, load
+from fog_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("fogspark-bench", cpus=cpus, shuffle_partitions=cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # edge derivation (the convert-replacement) — timed as its own query
+    edges = timed("derive_edges", lambda: cooccur_edges(spark, sf_dir).persist())
+    m = edges.count()
+    extra["n_edges"] = m
+
+    def _pagerank():
+        ranks, iters = pagerank_standard(edges, tol=1e-6, max_iters=60)
+        ranks.count()
+        extra["pagerank_iters"] = iters
+        return iters
+
+    iters = timed("pagerank_1e6", _pagerank)
+    extra["pagerank_edges_per_sec"] = round(m * iters / timings["pagerank_1e6"], 1)
+    extra["pagerank_edges_per_sec_per_core"] = round(m * iters / timings["pagerank_1e6"] / cpus, 1)
+
+    # fixed-iteration FOG-mode run: the stable throughput number
+    # (absolute-tol convergence depends on graph size; 10 supersteps don't)
+    from fog_spark.algorithms.pagerank import pagerank_fog
+
+    timed("pagerank_fog10", lambda: pagerank_fog(edges, niters=10).count())
+    extra["fog10_edges_per_sec"] = round(m * 10 / timings["pagerank_fog10"], 1)
+    extra["fog10_edges_per_sec_per_core"] = round(m * 10 / timings["pagerank_fog10"] / cpus, 1)
+
+    timed("cc_hashmin", lambda: connected_components(edges).select(F.countDistinct("component")).collect())
+    timed("lpa", lambda: label_propagation(edges, max_iters=10).count())
+    timed("triangles", lambda: triangle_total(edges))
+    timed(
+        "minhash_lsh_dedup",
+        lambda: minhash_lsh_candidates(load(spark, sf_dir, "documents"), k=16, bands=4).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "fogspark_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+from fog_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from fog_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from fog_spark.datapipe.text import (  # noqa: F401
+    doc_fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)

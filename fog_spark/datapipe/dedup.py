@@ -1,0 +1,180 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four families, each shaped for 100 TB inputs:
+
+- exact:   one hash-groupBy shuffle on a content digest;
+- MinHash + LSH: shingle -> k minhashes -> band buckets -> bucket join
+  (candidate pairs never leave their bucket, so the join is local to
+  the bucket's hash partition — no quadratic blowup);
+- SimHash: 64-bit near-dup fingerprint, Hamming-adjacent buckets;
+- n-gram Jaccard: exact verification of candidate pairs (run AFTER
+  LSH/SimHash shortlisting at scale, standalone only on small data).
+
+All token/hash work happens in JVM built-ins (md5, xxhash64, explode);
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) pairs, lowercased alnum tokens."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)).alias("t"),
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) word n-grams via array slicing — JVM-side transform."""
+    arr = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+    docs = docs.select(F.col(id_col).alias("id"), arr.alias("ts"))
+    ng = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
+    )
+    return docs.select("id", F.explode(ng).alias("t"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(digest, n_copies, canonical_id): hash-groupBy exact dedup."""
+    return docs.groupBy(F.sha2(F.col(text_col), 256).alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over seeded xxhash64 of each shingle.
+
+    xxhash64 is Spark-native (JVM, codegen); seeds give k independent
+    permutation approximations.
+    """
+    d = shingles.distinct()
+    aggs = [F.min(F.xxhash64(F.lit(i), "t")).alias(f"mh_{i}") for i in range(k)]
+    return d.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) via MinHash banding.
+
+    bands × rows-per-band = k. Buckets larger than ``max_bucket`` are
+    dropped (degenerate content — at 100 TB one mega-bucket would
+    otherwise produce a quadratic join; the dropped count is the
+    caller's skew telemetry).
+    """
+    rows = k // bands
+    sig = minhash_signatures(word_ngrams(docs, ngram, id_col, text_col), k)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[f"mh_{b * rows + r}" for r in range(rows)]).alias("bucket")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    small = banded.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "bucket"), ["band", "bucket"]
+    )
+    a = small.select("band", "bucket", F.col("id").alias("a_id"))
+    b = small.select("band", "bucket", F.col("id").alias("b_id"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a_id, b_id, jaccard) with n-gram Jaccard >= threshold.
+
+    With ``candidates`` (from LSH): verifies only those pairs — the
+    scale path. Without: all-pairs via shingle join — small data only.
+    """
+    sh = word_ngrams(docs, ngram, id_col, text_col).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("a_id"), "t")
+    b = sh.select(F.col("id").alias("b_id"), "t")
+    common = (
+        a.join(b, "t")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["a_id", "b_id"], "left_semi")
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 64-bit SimHash over unigram tokens.
+
+    Per bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
+    Vectorized as 64 conditional sums in one aggregation — one shuffle,
+    all JVM expressions.
+    """
+    tk = tokens(docs, id_col, text_col).withColumn("h", F.xxhash64("t"))
+
+    def mask(b: int) -> int:
+        # bit 63 is the sign bit of a Java long
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_bit = tk.groupBy(F.col("id")).agg(*aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return per_bit.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, prefix_bits: int = 16, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits,
+    verify Hamming distance <= max_hamming within blocks.
+
+    (Production variant uses multiple rotated prefixes; one prefix is
+    the demonstration block strategy.)
+    """
+    sig = simhash64(docs, **kw)
+    blocked = sig.withColumn("blk", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = blocked.select("blk", F.col("id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = blocked.select("blk", F.col("id").alias("b_id"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

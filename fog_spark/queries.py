@@ -1,0 +1,682 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle SQL.
+
+Every entry here is one operator/capability from SURVEY.md §2 (or a
+training-data-pipeline addition), expressed twice with IDENTICAL
+semantics:
+
+- a PySpark callable ``(spark, sf_dir) -> DataFrame``;
+- an ANSI-SQL string DuckDB runs on the same parquet tables.
+
+The driver hashes values order-insensitively after sorting columns by
+name, so both sides alias every column identically and round every
+float at the same decimal place. Iterative algorithms are expressed as
+FIXED-round unrolled recursions (k rounds in the Spark loop == k
+chained CTEs in SQL) so the comparison never depends on convergence
+behavior; convergence-to-fixed-point is covered by the pytest oracle
+suite instead.
+
+The link graph used by the graph queries is the part co-occurrence
+graph: parts appearing in the same order are connected (both
+directions, no self-loops) — a real "link graph derived from a source
+table" in the spirit of the repo-import derivation, expressible in
+pure SQL so DuckDB can oracle it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# shared inputs
+# ---------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+EDGES_CTE = """
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+         ((a.l_partkey * 31 + b.l_partkey) % 90 + 10) / 10.0 AS weight
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+)
+""".strip()
+
+
+def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence link graph (symmetric, no self-loops).
+
+    The SURVEY §2.1 S1-style 'edge derivation from a source table'
+    exercised on the driver's fixtures. Deterministic weight per
+    FIXTURES.md §2 replaces FOG's rand-in-[0,10) conversion weights.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (((F.col("src") * 31 + F.col("dst")) % 90 + 10) / 10.0).alias("weight"),
+        )
+        .distinct()
+    )
+
+
+TOKENS_CTE = """
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+)
+""".strip()
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph queries (SURVEY §2 operators)
+# ---------------------------------------------------------------------------
+
+
+def q_cooccur_edges(spark, sf_dir):
+    return cooccur_edges(spark, sf_dir)
+
+
+SQL_COOCCUR_EDGES = f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges"
+
+
+def q_out_degrees(spark, sf_dir):
+    """Degree computation = edges.groupBy(src).count()
+    (replaces index_vert_array::num_edges, SURVEY §2.4 note)."""
+    return cooccur_edges(spark, sf_dir).groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+SQL_OUT_DEGREES = f"WITH {EDGES_CTE} SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src"
+
+
+def q_degree_histogram(spark, sf_dir):
+    return (
+        q_out_degrees(spark, sf_dir)
+        .groupBy("outdeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+SQL_DEGREE_HISTOGRAM = (
+    f"WITH {EDGES_CTE}, d AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) "
+    "SELECT outdeg, count(*) AS n_vertices FROM d GROUP BY outdeg"
+)
+
+PR_ROUNDS = 3
+
+
+def q_pagerank_fog_k3(spark, sf_dir):
+    """FOG-mode accumulating PageRank, 3 fixed rounds (SURVEY §2.8)."""
+    edges = cooccur_edges(spark, sf_dir).persist()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.withColumn("rank", F.lit(1.0))
+    for _ in range(PR_ROUNDS):
+        msgs = edges.join(state, edges["src"] == state["id"]).select(
+            edges["dst"], (0.85 * F.col("rank") / F.col("outdeg") + 0.15).alias("m")
+        )
+        agg = msgs.groupBy("dst").agg(F.sum("m").alias("s"))
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", "outdeg", (F.col("rank") + F.coalesce("s", F.lit(0.0))).alias("rank")
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select("id", F.round("rank", 5).alias("rank_r"))
+
+
+def _sql_pagerank(k: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, outdeg, 1.0 AS rank FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT r.id, r.outdeg, r.rank + coalesce(m.s, 0) AS rank "
+            f"FROM r{i-1} r LEFT JOIN (SELECT e.dst, sum(0.85 * r.rank / r.outdeg + 0.15) AS s "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.id GROUP BY e.dst) m ON r.id = m.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 5) AS rank_r FROM r{k}"
+
+
+CC_ROUNDS = 12
+
+
+def q_cc_hashmin(spark, sf_dir):
+    """Hash-min connected components, 12 fixed rounds (converged at this
+    scale — tests assert the fixed point; the SQL mirror runs the same
+    12 rounds so the comparison is convergence-independent)."""
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst").persist()
+    state = edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(CC_ROUNDS):
+        agg = (
+            edges.join(state, edges["src"] == state["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("mc"))
+        )
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", F.least("comp", F.coalesce("mc", F.col("comp"))).alias("comp")
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select("id", F.col("comp").alias("component"))
+
+
+def _sql_cc(k: int) -> str:
+    ctes = [EDGES_CTE, "c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT c.id, least(c.comp, coalesce(m.mc, c.comp)) AS comp "
+            f"FROM c{i-1} c LEFT JOIN (SELECT e.dst, min(c.comp) AS mc "
+            f"FROM edges e JOIN c{i-1} c ON e.src = c.id GROUP BY e.dst) m ON c.id = m.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comp AS component FROM c{k}"
+
+
+LPA_ROUNDS = 2
+
+
+def q_lpa_k2(spark, sf_dir):
+    """Synchronous label propagation, 2 fixed rounds; mode gather with
+    smallest-label tie-break (SURVEY §2.8 LPA semantics)."""
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst").persist()
+    state = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(state, edges["src"] == state["id"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counts.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("n"), F.col("label").alias("l"))).alias("b"))
+            .select("dst", F.col("b.l").alias("nl"))
+        )
+        state = state.join(best, state["id"] == best["dst"], "left").select(
+            "id", F.coalesce("nl", F.col("label")).alias("label")
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select("id", "label")
+
+
+def _sql_lpa(k: int) -> str:
+    ctes = [EDGES_CTE, "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges)"]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, coalesce(b.nl, v.label) AS label FROM l{i-1} v LEFT JOIN ("
+            f"SELECT dst, label AS nl FROM ("
+            f"SELECT e.dst, l.label, count(*) AS cnt, "
+            f"row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn "
+            f"FROM edges e JOIN l{i-1} l ON e.src = l.id GROUP BY e.dst, l.label) t "
+            f"WHERE rn = 1) b ON v.id = b.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
+
+
+def q_triangle_total(spark, sf_dir):
+    """Exact triangle count via ordered two-path closure (SURVEY §2.3)."""
+    und = (
+        cooccur_edges(spark, sf_dir)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SQL_TRIANGLE_TOTAL = (
+    f"WITH {EDGES_CTE}, und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges) "
+    "SELECT count(*) AS n_triangles FROM und e1 "
+    "JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b"
+)
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    und = (
+        cooccur_edges(spark, sf_dir)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    member = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+    )
+    verts = und.select(F.col("a").alias("id")).unionByName(und.select(F.col("b").alias("id"))).distinct()
+    cnt = member.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
+    return verts.join(cnt, "id", "left").select(
+        "id", F.coalesce("c", F.lit(0)).cast("long").alias("tri_count")
+    )
+
+
+SQL_TRIANGLES_PER_VERTEX = f"""
+WITH {EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+member AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+verts AS (SELECT DISTINCT a AS id FROM und UNION SELECT DISTINCT b FROM und)
+SELECT v.id, coalesce(m.c, 0) AS tri_count
+FROM verts v LEFT JOIN (SELECT id, count(*) AS c FROM member GROUP BY id) m ON v.id = m.id
+"""
+
+BFS_ROUNDS = 4
+BFS_SENTINEL = 4294967295  # application/bfs.hpp:48
+
+
+def q_bfs_k4(spark, sf_dir):
+    """BFS from the min vertex id, 4 fixed rounds, u32 sentinel."""
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst").persist()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    root = verts.agg(F.min("id")).collect()[0][0]
+    state = verts.select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(BFS_SENTINEL)).cast("long").alias("level"),
+    )
+    for _ in range(BFS_ROUNDS):
+        agg = (
+            edges.join(state, edges["src"] == state["id"])
+            .where(F.col("level") < BFS_SENTINEL)
+            .groupBy("dst")
+            .agg(F.min(F.col("level") + 1).alias("cand"))
+        )
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", F.least("level", F.coalesce("cand", F.col("level"))).alias("level")
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select("id", "level")
+
+
+def _sql_bfs(k: int) -> str:
+    s = BFS_SENTINEL
+    ctes = [
+        EDGES_CTE,
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"b0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts) THEN 0 ELSE {s} END AS level FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT v.id, least(v.level, coalesce(m.cand, v.level)) AS level "
+            f"FROM b{i-1} v LEFT JOIN (SELECT e.dst, min(b.level + 1) AS cand "
+            f"FROM edges e JOIN b{i-1} b ON e.src = b.id WHERE b.level < {s} GROUP BY e.dst) m ON v.id = m.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, level FROM b{k}"
+
+
+SSSP_ROUNDS = 4
+SSSP_SENTINEL = 1.0e18
+
+
+def q_sssp_k4(spark, sf_dir):
+    """Bellman-Ford distances from min vertex, 4 fixed rounds, weighted."""
+    edges = cooccur_edges(spark, sf_dir).persist()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    root = verts.agg(F.min("id")).collect()[0][0]
+    state = verts.select(
+        "id",
+        F.when(F.col("id") == root, F.lit(0.0)).otherwise(F.lit(SSSP_SENTINEL)).alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        agg = (
+            edges.join(state, edges["src"] == state["id"])
+            .where(F.col("dist") < 1.0e17)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
+        )
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", F.least("dist", F.coalesce("cand", F.col("dist"))).alias("dist")
+        )
+        state = state.localCheckpoint(eager=True)
+    return state.select("id", F.round("dist", 4).alias("dist_r"))
+
+
+def _sql_sssp(k: int) -> str:
+    s = SSSP_SENTINEL
+    ctes = [
+        EDGES_CTE,
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"s0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT min(id) FROM verts) THEN 0.0 ELSE {s:e} END AS dist FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT v.id, least(v.dist, coalesce(m.cand, v.dist)) AS dist "
+            f"FROM s{i-1} v LEFT JOIN (SELECT e.dst, min(s.dist + e.weight) AS cand "
+            f"FROM edges e JOIN s{i-1} s ON e.src = s.id WHERE s.dist < 1e17 GROUP BY e.dst) m ON v.id = m.dst)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(dist, 4) AS dist_r FROM s{k}"
+
+
+def q_spmv(spark, sf_dir):
+    """One scatter-gather: y(v) = Σ_{u→v} x(u)·w(u,v), x ≡ 1 (SURVEY §2.8 SpMV)."""
+    edges = cooccur_edges(spark, sf_dir)
+    return (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.round(F.sum("weight"), 5).alias("y_r"))
+    )
+
+
+SQL_SPMV = f"WITH {EDGES_CTE} SELECT dst AS id, round(sum(weight), 5) AS y_r FROM edges GROUP BY dst"
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark, sf_dir):
+    toks = doc_tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("t").alias("n_unique")
+    )
+
+
+SQL_DOC_TOKEN_STATS = (
+    f"WITH {TOKENS_CTE} SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_unique "
+    "FROM toks GROUP BY doc_id"
+)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: token stats + stopword ratio (text-analysis op)."""
+    toks = doc_tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("t")), 4).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("t").isin(*STOPWORDS), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("stop_ratio"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+SQL_DOC_QUALITY = f"""
+WITH {TOKENS_CTE}
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(length(t)), 4) AS avg_token_len,
+       round(sum(CASE WHEN t IN ({_STOP_SQL}) THEN 1 ELSE 0 END) / count(*), 6) AS stop_ratio
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-density language heuristic (language-ID op; the synthetic
+    corpus shares one vocabulary, so this detects 'englishness')."""
+    return q_doc_quality(spark, sf_dir).select(
+        "doc_id", F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang")
+    )
+
+
+SQL_LANG_ID = f"""
+WITH {TOKENS_CTE},
+q AS (SELECT doc_id, sum(CASE WHEN t IN ({_STOP_SQL}) THEN 1 ELSE 0 END) / count(*) AS r FROM toks GROUP BY doc_id)
+SELECT doc_id, CASE WHEN r >= 0.05 THEN 'en' ELSE 'unk' END AS pred_lang FROM q
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (dedup op #1)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS canonical_id "
+    "FROM documents GROUP BY md5(text)"
+)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return load(spark, sf_dir, "documents").select("doc_id", F.md5(norm).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = (
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"
+)
+
+N_MINHASH = 4
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over token sets: mh_i = min(md5(i || ':' || token)).
+
+    md5-hex string min is portable across engines — no engine-specific
+    integer hash anywhere.
+    """
+    toks = doc_tokens(spark, sf_dir).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("t")))).alias(f"mh{i}") for i in range(N_MINHASH)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {TOKENS_CTE}, d AS (SELECT DISTINCT doc_id, t FROM toks)
+SELECT doc_id, {", ".join(f"min(md5('{i}:' || t)) AS mh{i}" for i in range(N_MINHASH))}
+FROM d GROUP BY doc_id
+"""
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """LSH banding over minhash signatures: 2 bands × 2 rows; bucket sizes.
+
+    (At scale, near-dup candidates come from joining within buckets —
+    bucket-size output keeps the oracle comparison O(buckets).)
+    """
+    sig = q_minhash_signatures(spark, sf_dir)
+    b0 = sig.select(F.lit(0).alias("band"), F.md5(F.concat("mh0", "mh1")).alias("bucket"))
+    b1 = sig.select(F.lit(1).alias("band"), F.md5(F.concat("mh2", "mh3")).alias("bucket"))
+    return b0.unionByName(b1).groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SQL_LSH_BUCKETS = f"""
+WITH {TOKENS_CTE}, d AS (SELECT DISTINCT doc_id, t FROM toks),
+sig AS (SELECT doc_id, {", ".join(f"min(md5('{i}:' || t)) AS mh{i}" for i in range(N_MINHASH))} FROM d GROUP BY doc_id),
+bands AS (SELECT 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+          UNION ALL SELECT 1, md5(mh2 || mh3) FROM sig)
+SELECT band, bucket, count(*) AS n_docs FROM bands GROUP BY band, bucket
+"""
+
+JACCARD_THRESHOLD = 0.8
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    """N-gram(1) Jaccard near-dup pairs ≥ 0.8 via token-join (dedup op)."""
+    toks = doc_tokens(spark, sf_dir).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("a"), "t")
+    tb = toks.select(F.col("doc_id").alias("b"), "t")
+    common = (
+        ta.join(tb, "t")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("j", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("j") >= JACCARD_THRESHOLD)
+        .select(F.col("a").alias("a_id"), F.col("b").alias("b_id"), F.round("j", 6).alias("jaccard_r"))
+    )
+
+
+SQL_TOKEN_JACCARD_PAIRS = f"""
+WITH {TOKENS_CTE}, d AS (SELECT DISTINCT doc_id, t FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+           FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT common.a AS a_id, common.b AS b_id,
+       round(c / (sa.n + sb.n - c), 6) AS jaccard_r
+FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_embedding_knn_top1(spark, sf_dir):
+    """Brute-force cosine nearest neighbor (similarity-search baseline).
+
+    Double-cast sequential dot product matches DuckDB's list_dot_product
+    fold order, so cosines agree bitwise before rounding.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"), F.col("nrm").alias("an"))
+    b = n.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"), F.col("nrm").alias("bn"))
+    pairs = a.crossJoin(b).where(F.col("a_id") != F.col("b_id"))
+    cos = pairs.select(
+        "a_id", "b_id", (dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("cos")
+    )
+    best = cos.groupBy("a_id").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("b_id").alias("bb"))).alias("m")
+    )
+    return best.select(
+        F.col("a_id").alias("vec_id"),
+        F.col("m.bb").alias("nn_id"),
+        F.round(-F.col("m.nc"), 6).alias("cos_r"),
+    )
+
+
+SQL_EMBEDDING_KNN_TOP1 = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT a_id, b_id, cos,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn
+      FROM p)
+SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cos_r FROM r WHERE rn = 1
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value_r"))
+    )
+
+
+SQL_EVENTS_ROLLUP = (
+    "SELECT user_id, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value_r "
+    "FROM events GROUP BY user_id, event_type"
+)
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: count 30-min-gap sessions per user (window op)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", F.unix_timestamp("ts").alias("e"))
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    x = ev.withColumn("pe", F.lag("e").over(w))
+    return x.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("pe").isNull() | (F.col("e") - F.col("pe") > SESSION_GAP_S), 1).otherwise(0)))
+        .cast("long")
+        .alias("n_sessions")
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH x AS (SELECT user_id, epoch(ts)::BIGINT AS e,
+                  lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT, event_id) AS pe
+           FROM events)
+SELECT user_id,
+       sum(CASE WHEN pe IS NULL OR e - pe > {SESSION_GAP_S} THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cooccur_edges": q_cooccur_edges,
+    "out_degrees": q_out_degrees,
+    "degree_histogram": q_degree_histogram,
+    "pagerank_fog_k3": q_pagerank_fog_k3,
+    "cc_hashmin": q_cc_hashmin,
+    "lpa_k2": q_lpa_k2,
+    "triangle_total": q_triangle_total,
+    "triangles_per_vertex": q_triangles_per_vertex,
+    "bfs_k4": q_bfs_k4,
+    "sssp_k4": q_sssp_k4,
+    "spmv": q_spmv,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_buckets": q_lsh_buckets,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    "embedding_knn_top1": q_embedding_knn_top1,
+    "events_rollup": q_events_rollup,
+    "events_sessions": q_events_sessions,
+}
+
+ORACLES: dict[str, str] = {
+    "cooccur_edges": SQL_COOCCUR_EDGES,
+    "out_degrees": SQL_OUT_DEGREES,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "pagerank_fog_k3": _sql_pagerank(PR_ROUNDS),
+    "cc_hashmin": _sql_cc(CC_ROUNDS),
+    "lpa_k2": _sql_lpa(LPA_ROUNDS),
+    "triangle_total": SQL_TRIANGLE_TOTAL,
+    "triangles_per_vertex": SQL_TRIANGLES_PER_VERTEX,
+    "bfs_k4": _sql_bfs(BFS_ROUNDS),
+    "sssp_k4": _sql_sssp(SSSP_ROUNDS),
+    "spmv": SQL_SPMV,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_buckets": SQL_LSH_BUCKETS,
+    "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
+    "embedding_knn_top1": SQL_EMBEDDING_KNN_TOP1,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+}

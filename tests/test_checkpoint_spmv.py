@@ -1,0 +1,88 @@
+"""Checkpoint/resume semantics + SpMV + salted aggregation equivalence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fog_spark import oracles
+from fog_spark.algorithms import connected_components, spmv
+from fog_spark.algorithms.pagerank import pagerank_fog
+from fog_spark.engine.checkpoint import RunContext
+from fog_spark.engine.skew import salted_agg
+from fog_spark.fixtures import graph_to_spark, named_graphs
+
+GRAPHS = named_graphs()
+
+
+def test_spmv_matches_oracle(spark):
+    g = GRAPHS["g_dag"]
+    expected = oracles.spmv(g.edges, g.weights(), g.n)
+    vertices = spark.range(g.n).select("id")
+    rows = {r["id"]: r["spmv_value"] for r in spmv(graph_to_spark(spark, g), vertices=vertices).collect()}
+    got = [rows[i] for i in range(g.n)]
+    assert np.allclose(got, expected, atol=1e-9)
+
+
+def test_pagerank_resume_bit_identical(spark, tmp_path):
+    """Kill after superstep k, resume, final state identical to a clean run."""
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+
+    # uninterrupted checkpointed run — the bit-identity baseline (same
+    # per-superstep plan: every step restarts from the step-(k-1) parquet)
+    ctx0 = RunContext(spark, str(tmp_path), "runClean")
+    clean = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6, ctx=ctx0).collect()}
+
+    ctx1 = RunContext(spark, str(tmp_path), "runA")
+    pagerank_fog(edges, vertices, niters=3, ctx=ctx1)  # "crash" after step 3
+    assert ctx1.last_committed()["superstep"] == 3
+
+    ctx2 = RunContext(spark, str(tmp_path), "runA")  # same run dir -> resume
+    resumed = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6, ctx=ctx2).collect()}
+    assert ctx2.last_committed()["superstep"] == 6
+    assert resumed == clean  # bit-identical, not just allclose
+
+    # and numerically identical (to float-sum reorder) to the plain run
+    plain = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6).collect()}
+    assert np.allclose(
+        [resumed[i] for i in range(g.n)], [plain[i] for i in range(g.n)], rtol=1e-12
+    )
+
+    # lineage recorded per superstep
+    m = ctx2.metrics()
+    assert all(sum(rec["lineage"].values()) == g.n for rec in m if rec["lineage"])
+
+
+def test_cc_checkpointed_matches_plain(spark, tmp_path):
+    g = GRAPHS["g_two_comp"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx = RunContext(spark, str(tmp_path), "cc1")
+    with_ckpt = {r["id"]: r["component"] for r in connected_components(edges, vertices, ctx=ctx).collect()}
+    plain = {r["id"]: r["component"] for r in connected_components(edges, vertices).collect()}
+    assert with_ckpt == plain
+    assert len(ctx.metrics()) >= 1
+
+
+def test_salted_agg_equivalence(spark):
+    """Two-stage salted aggregation == plain groupBy for sum/min/max/count."""
+    g = GRAPHS["g_plaw_n1000"]
+    msgs = graph_to_spark(spark, g).select("dst", F.col("weight").alias("m"))
+    plain = {
+        r["dst"]: (r["s"], r["mn"], r["mx"], r["c"])
+        for r in msgs.groupBy("dst")
+        .agg(F.sum("m").alias("s"), F.min("m").alias("mn"), F.max("m").alias("mx"), F.count("m").alias("c"))
+        .collect()
+    }
+    salted = {
+        r["dst"]: (r["s"], r["mn"], r["mx"], r["c"])
+        for r in salted_agg(
+            msgs, "dst", [("sum", "m", "s"), ("min", "m", "mn"), ("max", "m", "mx"), ("count", "m", "c")], n_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][3] == salted[k][3]
+        assert np.isclose(plain[k][0], salted[k][0])
+        assert plain[k][1:3] == salted[k][1:3]

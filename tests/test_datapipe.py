@@ -1,0 +1,143 @@
+"""Dedup / similarity / text / multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fog_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+    word_ngrams,
+)
+from fog_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk
+from fog_spark.datapipe.text import doc_fingerprints, language_id, quality_scores, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("fast", "quickly")),  # near dup of 0
+        (3, "completely different content about spark shuffles and partitions here"),
+        (4, "der hund und die katze sind nicht ein paar der die das und"),
+        (5, "el perro y la gata de la casa que los una el la de que y"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_word_ngrams(spark, docs):
+    one = docs.filter("doc_id = 3")
+    grams = [r["t"] for r in word_ngrams(one, n=3).collect()]
+    assert "completely different content" in grams
+    assert len(grams) == 9 - 3 + 1  # 9 tokens, n=3
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(docs, k=16, bands=8).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (2, 0) not in pairs or True  # ordering: a < b
+    assert all(a < b for a, b in pairs)
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cands = minhash_lsh_candidates(docs, k=16, bands=8)
+    verified = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, candidates=cands).collect()
+    }
+    assert verified[(0, 1)] == 1.0
+    all_pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert all_pairs[(0, 1)] == 1.0
+    assert 0.5 <= all_pairs[(0, 2)] < 1.0  # near dup
+
+
+def test_simhash_near_dups(spark, docs):
+    sims = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sims[0] == sims[1]  # identical text -> identical simhash
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def _make_embeddings(spark, n=60, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((4, dim)) * 3
+    vecs = centers[np.arange(n) % 4] + rng.standard_normal((n, dim)) * 0.05
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    embs, vecs = _make_embeddings(spark)
+    out = brute_force_topk(embs, k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["nn_id"]))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    np.fill_diagonal(cos, -np.inf)
+    for q in range(len(vecs)):
+        expect = list(np.argsort(-cos[q])[:3])
+        assert [nn for _, nn in sorted(got[q])] == expect
+
+
+def test_lsh_ann_recall(spark):
+    embs, vecs = _make_embeddings(spark)
+    exact = {
+        r["query_id"]: r["nn_id"]
+        for r in brute_force_topk(embs, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["nn_id"]
+        for r in lsh_ann_topk(embs, k=1, n_planes=8, n_tables=6).collect()
+    }
+    hits = sum(1 for q, nn in exact.items() if approx.get(q) == nn)
+    assert hits / len(exact) >= 0.9  # clustered data: high recall expected
+
+
+def test_text_ops(spark, docs):
+    ts = {r["id"]: r for r in token_stats(docs).collect()}
+    assert ts[0]["n_tokens"] == 13
+    qs = {r["id"]: r for r in quality_scores(docs).collect()}
+    assert 0 <= qs[3]["quality"] <= 1
+    assert qs[0]["stop_ratio"] > 0
+    langs = {r["id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert langs[0] == "en" and langs[4] == "de" and langs[5] == "es"
+    fps = {r["id"]: r["fp_hex"] for r in doc_fingerprints(docs).collect()}
+    assert fps[0] == fps[1] and fps[0] != fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    from fog_spark.datapipe.multimodal import MEDIA_SCHEMA, audio_features, frame_sample, image_features
+
+    rows = [
+        (0, "image", b"imgpayload0", {"width": 16, "height": 16, "sample_rate": None, "n_frames": None}),
+        (1, "image", b"imgpayload1", {"width": 16, "height": 16, "sample_rate": None, "n_frames": None}),
+        (2, "audio", b"wavpayload", {"width": None, "height": None, "sample_rate": 8000, "n_frames": None}),
+        (3, "video", b"vidpayload", {"width": None, "height": None, "sample_rate": None, "n_frames": 25}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = image_features(media).collect()
+    assert len(feats) == 2 and len(feats[0]["feature"]) == 64
+    # determinism: same payload -> same features
+    again = image_features(media).collect()
+    assert feats[0]["mean_luma"] == again[0]["mean_luma"]
+    aud = audio_features(media).collect()
+    assert len(aud) == 1 and aud[0]["wave_std"] > 0
+    frames = [r["frame_idx"] for r in frame_sample(media, every_n=10).collect()]
+    assert frames == [0, 10, 20]

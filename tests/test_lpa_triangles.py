@@ -1,0 +1,52 @@
+"""LPA and triangle counting vs oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fog_spark import oracles
+from fog_spark.algorithms import label_propagation, triangle_counts
+from fog_spark.algorithms.triangles import triangle_total
+from fog_spark.fixtures import graph_to_spark, named_graphs
+
+GRAPHS = named_graphs()
+
+
+def _col(df, key, n):
+    rows = {r["id"]: r[key] for r in df.collect()}
+    return [rows.get(i) for i in range(n)]
+
+
+@pytest.mark.parametrize("name", ["g_line", "g_two_comp", "g_tri", "g_er_n100"])
+def test_lpa_matches_oracle(spark, name):
+    g = GRAPHS[name]
+    expected = oracles.lpa(g.edges, g.n, max_iters=20)
+    vertices = spark.range(g.n).select("id")
+    got = _col(label_propagation(graph_to_spark(spark, g), vertices, max_iters=20), "label", g.n)
+    assert got == expected.tolist()
+
+
+def test_lpa_fixed_point_validity(spark):
+    """Every vertex's final label is a modal label among its neighbors."""
+    g = GRAPHS["g_plaw_n1000"]
+    vertices = spark.range(g.n).select("id")
+    got = _col(label_propagation(graph_to_spark(spark, g), vertices, max_iters=20), "label", g.n)
+    expected = oracles.lpa(g.edges, g.n, max_iters=20)
+    assert got == expected.tolist()
+
+
+@pytest.mark.parametrize(
+    "name,total", [("g_tri", 4), ("g_line", 0), ("g_two_comp", 2), ("g_cycle", 0)]
+)
+def test_triangle_totals(spark, name, total):
+    g = GRAPHS[name]
+    assert triangle_total(graph_to_spark(spark, g)) == total
+
+
+@pytest.mark.parametrize("name", ["g_tri", "g_er_n100", "g_plaw_n1000"])
+def test_triangle_per_vertex(spark, name):
+    g = GRAPHS[name]
+    per, tot = oracles.triangles(g.edges, g.n)
+    vertices = spark.range(g.n).select("id")
+    got = _col(triangle_counts(graph_to_spark(spark, g), vertices), "tri_count", g.n)
+    assert got == per.tolist()
+    assert triangle_total(graph_to_spark(spark, g)) == tot
