@@ -13,7 +13,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, vertices_of, with_frontier_hint
+from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of, with_frontier_hint
 
 UNREACHED = 4294967295
 
@@ -47,7 +47,7 @@ def bfs_levels(
         )
         agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
         state = (
-            state.join(agg, state["id"] == agg["dst"], "left")
+            state.join(maybe_broadcast(agg, active * 64), state["id"] == agg["dst"], "left")
             .select(
                 "id",
                 F.least("level", F.coalesce("cand", F.col("level"))).alias("level"),

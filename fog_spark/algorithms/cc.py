@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from fog_spark.engine.superstep import (
     materialize,
+    maybe_broadcast,
     symmetrize,
     vertices_of,
     with_frontier_hint,
@@ -51,7 +52,7 @@ def connected_components(
         msgs = sym.join(frontier, sym["src"] == frontier["id"]).select(sym["dst"], "comp")
         agg = msgs.groupBy("dst").agg(F.min("comp").alias("new_comp"))
         state = (
-            state.join(agg, state["id"] == agg["dst"], "left")
+            state.join(maybe_broadcast(agg, active), state["id"] == agg["dst"], "left")
             .select(
                 "id",
                 F.least("comp", F.coalesce("new_comp", F.col("comp"))).alias("comp"),

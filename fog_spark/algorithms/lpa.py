@@ -21,7 +21,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, symmetrize, vertices_of
+from fog_spark.engine.superstep import materialize, maybe_broadcast, symmetrize, vertices_of
 
 
 def label_propagation(
@@ -33,20 +33,22 @@ def label_propagation(
     """Returns (id, label). Isolated vertices keep their own id."""
     vertices = vertices if vertices is not None else vertices_of(edges)
     # mode counts must not double-count duplicate (src,dst) pairs
-    sym = symmetrize(edges).distinct()
+    sym = symmetrize(edges).distinct().persist()
 
     state = vertices.select("id", F.col("id").alias("label"))
     state = materialize(state, ctx, 0)
+    n = state.count()
 
     for step in range(1, max_iters + 1):
         t0 = time.time()
-        msgs = sym.join(state, sym["src"] == state["id"]).select(sym["dst"], "label")
+        st = maybe_broadcast(state, n)
+        msgs = sym.join(st, sym["src"] == st["id"]).select(sym["dst"], "label")
         counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
         best = counts.groupBy("dst").agg(
             F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lbl"))).alias("b")
         ).select("dst", F.col("b.lbl").alias("new_label"))
         state = (
-            state.join(best, state["id"] == best["dst"], "left")
+            state.join(maybe_broadcast(best, n), state["id"] == best["dst"], "left")
             .select(
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),
@@ -61,4 +63,5 @@ def label_propagation(
         if changed == 0:
             break
 
+    sym.unpersist()
     return state.select("id", "label")

@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from fog_spark.engine.superstep import materialize, vertices_of
+from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of
 
 DAMPING = 0.85  # application/pagerank.hpp:22
 
@@ -82,6 +82,7 @@ def pagerank_fog(
         edges_b.count()
 
     state = materialize(state, ctx, start_step) if ctx else state.localCheckpoint(eager=True)
+    n = state.count()  # known once; drives broadcast decisions every superstep
 
     for step in range(start_step + 1, niters + 1):
         t0 = time.time()
@@ -91,10 +92,11 @@ def pagerank_fog(
             )
         else:
             msg = (d * F.col("rank") / F.col("outdeg") + (1.0 - d)).alias("msg")
-            msgs = edges.join(state, edges["src"] == state["id"]).select(edges["dst"], msg)
+            st = maybe_broadcast(state, n)
+            msgs = edges.join(st, edges["src"] == st["id"]).select(edges["dst"], msg)
             agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
         state = (
-            state.join(agg, state["id"] == agg["dst"], "left")
+            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
             .select("id", "outdeg", (F.col("rank") + F.coalesce("incoming", F.lit(0.0))).alias("rank"))
         )
         state = materialize(state, ctx, step)
@@ -179,12 +181,13 @@ def pagerank_standard(
     it = 0
     for it in range(1, max_iters + 1):
         t0 = time.time()
-        msgs = edges.join(state, edges["src"] == state["id"]).select(
+        st = maybe_broadcast(state, n)
+        msgs = edges.join(st, edges["src"] == st["id"]).select(
             edges["dst"], (F.col("rank") / F.col("outdeg")).alias("msg")
         )
         agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
         state = (
-            state.join(agg, state["id"] == agg["dst"], "left")
+            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
             .select(
                 "id",
                 "outdeg",

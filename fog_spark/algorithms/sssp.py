@@ -19,7 +19,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, vertices_of, with_frontier_hint
+from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of, with_frontier_hint
 
 EPS = 1e-3
 
@@ -57,6 +57,7 @@ def sssp(
             ).alias("cand"),
         )
         agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
+        agg = maybe_broadcast(agg, active * 64)
         absorb = (F.col("cand.dist") < F.col("dist")) & (
             F.abs(F.col("cand.dist") - F.col("dist")) > EPS
         )

@@ -50,16 +50,17 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
     see triangle_total for the scalar.
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
+    # sort-merge hints: the oriented table is ~m/2 rows; broadcasting it
+    # is a driver-side hash build that degrades unpredictably and cannot
+    # work at 10^12 edges. SMJ shuffles by the join key and scales out.
     o = _oriented(edges).persist()
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-        .join(
-            e3,
-            (F.col("e1.lo") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")),
-        )
-        .select(F.col("e1.lo").alias("x"), F.col("e1.hi").alias("y"), F.col("e2.hi").alias("z"))
-    )
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
+    # closure join: SHUFFLE_HASH, not merge — the wedge stream is O(sum
+    # deg_oriented^2) rows and must not be sorted; hashing the (small)
+    # edge side per partition probes the wedges in one streaming pass.
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
+    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
     member = (
         tris.select(F.col("x").alias("id"))
         .unionByName(tris.select(F.col("y").alias("id")))
@@ -74,11 +75,10 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
 
 
 def triangle_total(edges: DataFrame) -> int:
-    o = _oriented(edges)
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    n = (
-        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
-        .join(e3, (F.col("e1.lo") == F.col("e3.lo")) & (F.col("e2.hi") == F.col("e3.hi")))
-        .count()
-    )
+    o = _oriented(edges).persist()
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
+    n = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    o.unpersist()
     return int(n)

@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # (replaces FOG's bitmap fast path, fogsrc/fog_engine.cpp:560-568).
 BROADCAST_FRONTIER_MAX = 2_000_000
 
+# Below this many rows, hint the vertex-state side of the scatter join to
+# broadcast. CRITICAL: checkpointed state scans have UNKNOWN stats, so
+# without the hint AQE broadcasts the (size-estimated) EDGE table every
+# superstep — backwards, and catastrophic at scale. Above the threshold
+# the join falls back to sort-merge against the pre-partitioned edges.
+BROADCAST_STATE_MAX = 2_000_000
+
+
+def maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    if n_rows is not None and 0 <= n_rows <= BROADCAST_STATE_MAX:
+        return F.broadcast(df)
+    return df
+
 
 def prepare_edges(edges: DataFrame, key: str = "src", partitions: int | None = None) -> DataFrame:
     """Hash-partition the edge table by the scatter join key and cache it.
@@ -54,14 +67,40 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+_MATERIALIZE_TICKS = 0
+_GC_EVERY = 5
+
+
+def _cleanup_tick(spark) -> None:
+    """Nudge the GC-driven ContextCleaner every few supersteps.
+
+    Spark frees shuffle files, broadcast blocks, and checkpoint RDDs only
+    when the JVM garbage-collects their driver-side handles. Iterative
+    jobs on a large, mostly-empty driver heap never trigger a natural GC,
+    so the debris accumulates and superstep latency degrades severely
+    (measured: 10s -> 114s per 10 supersteps after ~30 uncollected
+    steps). One System.gc() per few supersteps keeps latency flat.
+    """
+    global _MATERIALIZE_TICKS
+    _MATERIALIZE_TICKS += 1
+    if _MATERIALIZE_TICKS % _GC_EVERY == 0:
+        import gc
+
+        gc.collect()  # drop py4j refs first so the JVM handles are dead
+        spark.sparkContext._jvm.System.gc()
+
+
 def materialize(df: DataFrame, ctx=None, step: int | None = None, name: str = "state") -> DataFrame:
     """Cut lineage. With a RunContext: durable parquet checkpoint (resume
     point, replaces FOG's .attr write-back fog_engine.cpp:245-261);
     without: eager localCheckpoint (fast, non-durable).
     """
     if ctx is not None and step is not None:
-        return ctx.write_state(df, step, name=name)
-    return df.localCheckpoint(eager=True)
+        out = ctx.write_state(df, step, name=name)
+    else:
+        out = df.localCheckpoint(eager=True)
+    _cleanup_tick(df.sparkSession)
+    return out
 
 
 def with_frontier_hint(frontier: DataFrame, active_count: int) -> DataFrame:

@@ -28,6 +28,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from fog_spark.engine.superstep import materialize
+
 # ---------------------------------------------------------------------------
 # shared inputs
 # ---------------------------------------------------------------------------
@@ -139,7 +141,7 @@ def q_pagerank_fog_k3(spark, sf_dir):
         state = state.join(agg, state["id"] == agg["dst"], "left").select(
             "id", "outdeg", (F.col("rank") + F.coalesce("s", F.lit(0.0))).alias("rank")
         )
-        state = state.localCheckpoint(eager=True)
+        state = materialize(state)
     return state.select("id", F.round("rank", 5).alias("rank_r"))
 
 
@@ -176,7 +178,7 @@ def q_cc_hashmin(spark, sf_dir):
         state = state.join(agg, state["id"] == agg["dst"], "left").select(
             "id", F.least("comp", F.coalesce("mc", F.col("comp"))).alias("comp")
         )
-        state = state.localCheckpoint(eager=True)
+        state = materialize(state)
     return state.select("id", F.col("comp").alias("component"))
 
 
@@ -213,7 +215,7 @@ def q_lpa_k2(spark, sf_dir):
         state = state.join(best, state["id"] == best["dst"], "left").select(
             "id", F.coalesce("nl", F.col("label")).alias("label")
         )
-        state = state.localCheckpoint(eager=True)
+        state = materialize(state)
     return state.select("id", "label")
 
 
@@ -308,7 +310,7 @@ def q_bfs_k4(spark, sf_dir):
         state = state.join(agg, state["id"] == agg["dst"], "left").select(
             "id", F.least("level", F.coalesce("cand", F.col("level"))).alias("level")
         )
-        state = state.localCheckpoint(eager=True)
+        state = materialize(state)
     return state.select("id", "level")
 
 
@@ -351,7 +353,7 @@ def q_sssp_k4(spark, sf_dir):
         state = state.join(agg, state["id"] == agg["dst"], "left").select(
             "id", F.least("dist", F.coalesce("cand", F.col("dist"))).alias("dist")
         )
-        state = state.localCheckpoint(eager=True)
+        state = materialize(state)
     return state.select("id", F.round("dist", 4).alias("dist_r"))
 
 
