@@ -78,6 +78,22 @@ def main() -> None:
         lambda: minhash_lsh_candidates(load(spark, sf_dir, "documents"), k=16, bands=4).count(),
     )
 
+    # north-rule-faithful end-to-end: Spark-generated repo table ->
+    # regex import extraction -> dense ids -> FOG PageRank supersteps
+    def _repo_pipeline():
+        from fog_spark.algorithms.pagerank import pagerank_fog as _pf
+        from fog_spark.fixtures_spark import make_repo_table_spark
+        from fog_spark.graph.derive import derive_graph
+
+        repos = make_repo_table_spark(spark, n_repos=100, files_per_repo=2000)
+        g = derive_graph(repos)
+        ge = g.edges.persist()
+        extra["repo_pipeline_edges"] = ge.count()
+        _pf(ge, g.vertices, niters=5).count()
+        ge.unpersist()
+
+    timed("repo_derive_pagerank", _repo_pipeline)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -23,17 +23,23 @@ Kernels
 - ``kernel="df"``: pure DataFrame ops — scatter join + partial-hash-agg
   shuffle, whole-stage-codegen'd, zero Python in the loop.
 - ``kernel="csr"``: the north_star's CSR-packed path — edges and state
-  are co-partitioned by hash(src), and a cogrouped Arrow pandas UDF
-  packs the partition's adjacency into NumPy CSR arrays, computes all
-  messages vectorized, and PRE-AGGREGATES them by dst before the
-  shuffle (np.bincount = map-side combine). No per-row Python anywhere.
+  are co-partitioned by hash(src); adjacency is packed into NumPy CSR
+  arrays ONCE (engine/csr.pack_csr), and each superstep a cogrouped
+  Arrow pandas UDF computes all messages vectorized and PRE-AGGREGATES
+  them by dst before the shuffle (np.bincount = map-side combine). No
+  per-row Python anywhere.
+
+Measured tradeoff (sandbox, 8 cores): df 46s vs csr 452s for 5
+supersteps over 40M edges — the packed arrays cross the JVM<->Python
+Arrow boundary every superstep (~640MB/superstep here), while the df
+kernel never leaves whole-stage codegen. Use csr only when the per-edge
+kernel cannot be expressed in Spark SQL (custom numerics, model
+scoring); for SQL-expressible folds the df kernel is strictly better.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -77,9 +83,11 @@ def pagerank_fog(
             start_step, state = rp
 
     if kernel == "csr":
+        from fog_spark.engine.csr import pack_csr
+
         nparts = n_kernel_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges_b = edges.withColumn("pkey", F.pmod(F.hash("src"), F.lit(nparts))).persist()
-        edges_b.count()
+        packed = pack_csr(edges, nparts).persist()
+        packed.count()  # pack ONCE; reused by every superstep
 
     state = materialize(state, ctx, start_step) if ctx else state.localCheckpoint(eager=True)
     n = state.count()  # known once; drives broadcast decisions every superstep
@@ -87,9 +95,14 @@ def pagerank_fog(
     for step in range(start_step + 1, niters + 1):
         t0 = time.time()
         if kernel == "csr":
-            agg = _csr_scatter_fog(edges_b, state, nparts, d).groupBy("dst").agg(
-                F.sum("partial").alias("incoming")
-            )
+            from fog_spark.engine.csr import csr_scatter_sum
+
+            def fog_msg(sb, d=d):
+                deg = np.maximum(sb["outdeg"].to_numpy(), 1)  # outdeg-0 rows never scatter
+                return d * sb["rank"].to_numpy() / deg + (1.0 - d)
+
+            partials = csr_scatter_sum(packed, state, nparts, fog_msg)
+            agg = partials.groupBy("dst").agg(F.sum("partial").alias("incoming"))
         else:
             msg = (d * F.col("rank") / F.col("outdeg") + (1.0 - d)).alias("msg")
             st = maybe_broadcast(state, n)
@@ -104,50 +117,8 @@ def pagerank_fog(
             ctx.commit(step, active=-1, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
     if kernel == "csr":
-        edges_b.unpersist()
+        packed.unpersist()
     return state.select("id", "rank")
-
-
-_CSR_OUT = T.StructType(
-    [T.StructField("dst", T.LongType()), T.StructField("partial", T.DoubleType())]
-)
-
-
-def _csr_scatter_fog(edges_b: DataFrame, state: DataFrame, nparts: int, d: float) -> DataFrame:
-    """Cogrouped pandas-UDF scatter with per-partition CSR pack + map-side combine.
-
-    Replaces FOG's per-CPU update buffers (fogsrc/cpu_thread.cpp:290-306):
-    each partition emits at most one row per distinct dst it touches.
-    """
-    st = state.withColumn("pkey", F.pmod(F.hash("id"), F.lit(nparts)))
-
-    def scatter(edf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-        if edf.empty or sdf.empty:
-            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "partial": pd.Series(dtype="float64")})
-        # CSR pack: sort edges by src, slice boundaries via np.unique
-        order = np.argsort(edf["src"].to_numpy(), kind="stable")
-        src = edf["src"].to_numpy()[order]
-        dst = edf["dst"].to_numpy()[order]
-        # vertex dictionary for this partition's state block
-        sid = sdf["id"].to_numpy()
-        rank = sdf["rank"].to_numpy()
-        outdeg = sdf["outdeg"].to_numpy().astype(np.float64)
-        # map each edge's src to its state row (ids are co-partitioned by pkey)
-        pos = np.searchsorted(sid, src, sorter=np.argsort(sid))
-        sorter = np.argsort(sid)
-        rank_e = rank[sorter][pos]
-        deg_e = outdeg[sorter][pos]
-        msg = d * rank_e / deg_e + (1.0 - d)
-        # map-side combine: partial-sum by dst inside the partition
-        udst, inv = np.unique(dst, return_inverse=True)
-        partial = np.bincount(inv, weights=msg)
-        return pd.DataFrame({"dst": udst.astype(np.int64), "partial": partial})
-
-    return (
-        edges_b.groupby("pkey")
-        .cogroup(st.groupby("pkey"))
-        .applyInPandas(scatter, schema=_CSR_OUT)
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -187,3 +187,62 @@ def spmv(edges: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
     y = np.zeros(n)
     np.add.at(y, edges[:, 1], 1.0 * weights)
     return y
+
+
+def scc(edges: np.ndarray, n: int) -> np.ndarray:
+    """min-vertex-id label per strongly-connected component (iterative Tarjan)."""
+    adj: dict[int, list[int]] = {}
+    for s, t in edges:
+        if s != t:
+            adj.setdefault(int(s), []).append(int(t))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = [0]
+    comps: list[list[int]] = []
+
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            nbrs = adj.get(v, [])
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if index[w] == -1:
+                    work[-1] = (v, pi)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                c = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    c.append(w)
+                    if w == v:
+                        break
+                comps.append(c)
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    for c in comps:
+        m = min(c)
+        for v in c:
+            comp[v] = m
+    return comp
