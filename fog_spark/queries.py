@@ -682,3 +682,180 @@ ORACLES: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_sessions": SQL_EVENTS_SESSIONS,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: finalize/top-k, .desc metadata, simhash, n-grams, windows
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_top100(spark, sf_dir):
+    """The reference's finalize print: first 100 vertices by id with their
+    FOG-mode rank (application/pagerank.hpp:121-128; O3 in SURVEY §2.5)."""
+    return q_pagerank_fog_k3(spark, sf_dir).orderBy("id").limit(100)
+
+
+def q_graph_meta(spark, sf_dir):
+    """The .desc metadata replacement (S6, convert/convert.cpp:145-153)."""
+    edges = cooccur_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+    meta = edges.agg(
+        F.min(F.least("src", "dst")).alias("min_vertex_id"),
+        F.max(F.greatest("src", "dst")).alias("max_vertex_id"),
+        F.count(F.lit(1)).alias("num_of_edges"),
+    )
+    return meta.crossJoin(deg.agg(F.max("c").alias("max_out_edges")))
+
+
+SQL_GRAPH_META = f"""
+WITH {EDGES_CTE},
+d AS (SELECT src, count(*) AS c FROM edges GROUP BY src)
+SELECT min(least(src, dst)) AS min_vertex_id, max(greatest(src, dst)) AS max_vertex_id,
+       count(*) AS num_of_edges, (SELECT max(c) FROM d) AS max_out_edges
+FROM edges
+"""
+
+# portable hex->int: position of each hex char in the alphabet (works in
+# both Spark SQL and DuckDB; no engine-specific conv/from_hex involved)
+_HEXPOS_SPARK = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+
+SIMHASH_BITS = 16
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash over token sets via the first 4 hex chars of
+    md5(token) — engine-portable (dedup op, SimHash family)."""
+    toks = doc_tokens(spark, sf_dir).distinct().withColumn("h", F.md5("t"))
+    val = sum(
+        (_HEXPOS_SPARK(F.substring("h", i + 1, 1)) * (16 ** (3 - i))) for i in range(4)
+    )
+    tk = toks.withColumn("hv", val)
+    aggs = [
+        F.sum(
+            F.when(F.floor(F.col("hv") / (2 ** b)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per = tk.groupBy("doc_id").agg(*aggs)
+    sim = sum(F.when(F.col(f"s{b}") > 0, 2 ** b).otherwise(0) for b in range(SIMHASH_BITS))
+    return per.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+def _sql_simhash16() -> str:
+    hexpos = lambda i: f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"  # noqa: E731
+    val = " + ".join(hexpos(i) for i in range(4))
+    sums = ", ".join(
+        f"sum(CASE WHEN (hv // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(SIMHASH_BITS))
+    return f"""
+WITH {TOKENS_CTE},
+d AS (SELECT DISTINCT doc_id, t FROM toks),
+hv AS (SELECT doc_id, ({val}) AS hv FROM (SELECT doc_id, md5(t) AS h FROM d)),
+per AS (SELECT doc_id, {sums} FROM hv GROUP BY doc_id)
+SELECT doc_id, ({bits})::BIGINT AS simhash16 FROM per
+"""
+
+
+def q_ngram3_stats(spark, sf_dir):
+    """Word-trigram shingle stats (the n-gram machinery behind n-gram
+    Jaccard dedup), engine-portable via sequence+transform."""
+    arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    docs = load(spark, sf_dir, "documents").select("doc_id", arr.alias("ts"))
+    ng = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ts") - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at("ts", i), F.element_at("ts", i + 1), F.element_at("ts", i + 2)),
+    )
+    shingled = docs.select("doc_id", F.explode(ng).alias("g"))
+    return shingled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"), F.countDistinct("g").alias("n_unique_shingles")
+    )
+
+
+SQL_NGRAM3_STATS = """
+WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+       FROM arrs)
+SELECT doc_id, count(*) AS n_shingles, count(DISTINCT g) AS n_unique_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_events_running_max(spark, sf_dir):
+    """Running per-user max event value (window function coverage)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id", "event_id", F.round(F.max("value").over(w), 4).alias("run_max_r")
+    )
+
+
+SQL_EVENTS_RUNNING_MAX = """
+SELECT user_id, event_id,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS run_max_r
+FROM events
+"""
+
+
+def q_embedding_knn_top3(spark, sf_dir):
+    """Exact top-3 cosine neighbors (similarity-search coverage beyond top-1)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("vec_id", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"), F.col("nrm").alias("an"))
+    b = n.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"), F.col("nrm").alias("bn"))
+    cos = (
+        a.crossJoin(b)
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", (dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("cos"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("a_id").alias("vec_id"), F.col("rnk").alias("rnk"), F.col("b_id").alias("nn_id"))
+    )
+
+
+SQL_EMBEDDING_KNN_TOP3 = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk FROM p)
+SELECT a_id AS vec_id, rnk, b_id AS nn_id FROM r WHERE rnk <= 3
+"""
+
+QUERIES.update(
+    {
+        "pagerank_top100": q_pagerank_top100,
+        "graph_meta": q_graph_meta,
+        "simhash16": q_simhash16,
+        "ngram3_stats": q_ngram3_stats,
+        "events_running_max": q_events_running_max,
+        "embedding_knn_top3": q_embedding_knn_top3,
+    }
+)
+
+ORACLES.update(
+    {
+        "pagerank_top100": _sql_pagerank(PR_ROUNDS).replace(
+            f"SELECT id, round(rank, 5) AS rank_r FROM r{PR_ROUNDS}",
+            f"SELECT id, round(rank, 5) AS rank_r FROM r{PR_ROUNDS} ORDER BY id LIMIT 100",
+        ),
+        "graph_meta": SQL_GRAPH_META,
+        "simhash16": _sql_simhash16(),
+        "ngram3_stats": SQL_NGRAM3_STATS,
+        "events_running_max": SQL_EVENTS_RUNNING_MAX,
+        "embedding_knn_top3": SQL_EMBEDDING_KNN_TOP3,
+    }
+)
