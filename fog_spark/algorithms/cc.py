@@ -41,10 +41,16 @@ def connected_components(
 
     # state carries a `changed` flag; the frontier is a projection of it.
     state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
-    state = materialize(state, ctx, 0)
-    active = state.count()
+    start_step = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_step, state = rp  # changed flag persisted -> frontier restored
+    if start_step == 0:
+        state = materialize(state, ctx, 0)
+    active = state.filter("changed").count() if start_step else state.count()
 
-    for step in range(1, max_iters + 1):
+    for step in range(start_step + 1, max_iters + 1):
         if active == 0:
             break
         t0 = time.time()

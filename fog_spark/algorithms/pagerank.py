@@ -144,13 +144,23 @@ def pagerank_standard(
     state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
     n = state.count()
     state = state.withColumn("rank", F.lit(1.0 / n))
-    state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
 
-    # scalar pass: dangling mass of r_0
+    start_it = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_it, state = rp
+            last = ctx.last_committed() or {}
+            if last.get("delta") is not None and last["delta"] < tol:
+                return state.select("id", "rank"), start_it
+    if start_it == 0:
+        state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
+
+    # scalar pass: dangling mass of the current rank vector
     dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
 
-    it = 0
-    for it in range(1, max_iters + 1):
+    it = start_it
+    for it in range(start_it + 1, max_iters + 1):
         t0 = time.time()
         st = maybe_broadcast(state, n)
         msgs = edges.join(st, edges["src"] == st["id"]).select(

@@ -86,3 +86,45 @@ def test_salted_agg_equivalence(spark):
         assert plain[k][3] == salted[k][3]
         assert np.isclose(plain[k][0], salted[k][0])
         assert plain[k][1:3] == salted[k][1:3]
+
+
+def test_cc_resume_matches_clean(spark, tmp_path):
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx0 = RunContext(spark, str(tmp_path), "ccClean")
+    clean = {r["id"]: r["component"] for r in connected_components(edges, vertices, ctx=ctx0).collect()}
+
+    ctx1 = RunContext(spark, str(tmp_path), "ccResume")
+    connected_components(edges, vertices, max_iters=2, ctx=ctx1)  # crash after 2 rounds
+    assert ctx1.last_committed()["superstep"] == 2
+    ctx2 = RunContext(spark, str(tmp_path), "ccResume")
+    resumed = {r["id"]: r["component"] for r in connected_components(edges, vertices, ctx=ctx2).collect()}
+    assert ctx2.last_committed()["superstep"] > 2
+    assert resumed == clean
+
+
+def test_pagerank_standard_resume(spark, tmp_path):
+    import numpy as np
+    from fog_spark.algorithms.pagerank import pagerank_standard
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx0 = RunContext(spark, str(tmp_path), "stdClean")
+    clean_df, clean_iters = pagerank_standard(edges, vertices, tol=1e-6, ctx=ctx0)
+    clean = {r["id"]: r["rank"] for r in clean_df.collect()}
+
+    ctx1 = RunContext(spark, str(tmp_path), "stdResume")
+    pagerank_standard(edges, vertices, tol=1e-6, max_iters=2, ctx=ctx1)  # crash mid-run
+    ctx2 = RunContext(spark, str(tmp_path), "stdResume")
+    res_df, total_iters = pagerank_standard(edges, vertices, tol=1e-6, ctx=ctx2)
+    resumed = {r["id"]: r["rank"] for r in res_df.collect()}
+    assert total_iters == clean_iters
+    assert resumed == clean  # same per-superstep plans -> bit-identical
+
+    # resuming a CONVERGED run is a no-op returning the final state
+    ctx3 = RunContext(spark, str(tmp_path), "stdResume")
+    again_df, again_iters = pagerank_standard(edges, vertices, tol=1e-6, ctx=ctx3)
+    assert again_iters == total_iters
+    assert {r["id"]: r["rank"] for r in again_df.collect()} == clean

@@ -1,0 +1,93 @@
+"""Physical-plan regression guards.
+
+These pin the *plan shapes* the engine relies on at scale: column
+pruning reaching the parquet scan, predicate pushdown, state-side
+broadcast in the superstep scatter join, and the shuffle-hash closure
+join in triangle counting. A change that silently loses one of these
+still passes value tests at sf0.001 — and melts at 100TB.
+"""
+
+from pyspark.sql import functions as F
+
+from fog_spark.fixtures import graph_to_spark, named_graphs
+from fog_spark.queries import cooccur_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cooccur_scan_prunes_columns(spark):
+    plan = _plan(cooccur_edges(spark, SF))
+    # the lineitem scan must read ONLY the join/select columns
+    assert "l_orderkey" in plan and "l_partkey" in plan
+    for col in ("l_extendedprice", "l_quantity", "l_shipdate", "l_suppkey"):
+        assert col not in plan, f"column {col} not pruned from parquet scan"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_partkey") == 42).select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_partkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_superstep_scatter_broadcasts_state_not_edges(spark):
+    """Regression for the AQE inversion: with unknown stats on the
+    checkpointed state, Spark used to broadcast the EDGE table."""
+    from fog_spark.engine.superstep import maybe_broadcast
+
+    edges = cooccur_edges(spark, SF).persist()
+    edges.count()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=True)
+    n = state.count()
+    st = maybe_broadcast(state, n)
+    joined = edges.join(st, edges["src"] == st["id"]).select(edges["dst"])
+    plan = _plan(joined)
+    # the OUTER join (first BroadcastHashJoin line, src==id keys) must
+    # build from the state side (BuildRight with edges streamed on the
+    # left from the cache), not broadcast the edge relation
+    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin [src" in l)
+    assert "[id" in join_line and "BuildRight" in join_line
+    assert "InMemoryTableScan" in plan  # edges streamed from cache
+    edges.unpersist()
+
+
+def test_triangle_closure_uses_shuffle_hash_join(spark):
+    """The O(wedges) stream must never be sorted (SMJ) or collected to
+    the driver (BHJ build)."""
+    from fog_spark.algorithms.triangles import _oriented
+
+    g = named_graphs()["g_er_n100"]
+    o = _oriented(graph_to_spark(spark, g))
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
+    plan = _plan(e1.join(e2, "y").join(e3, ["x", "z"]))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_whole_stage_codegen_covers_superstep(spark):
+    """The df-kernel message expression must stay inside codegen."""
+    edges = cooccur_edges(spark, SF)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.withColumn("rank", F.lit(1.0))
+    msgs = edges.join(state, edges["src"] == state["id"]).select(
+        edges["dst"], (0.85 * F.col("rank") / F.col("outdeg") + 0.15).alias("msg")
+    )
+    agg = msgs.groupBy("dst").agg(F.sum("msg").alias("s"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("codegen")
+    out = buf.getvalue()
+    assert "WholeStageCodegen" in out and "Found 0" not in out.split("\n")[1]
