@@ -1,0 +1,6 @@
+from fog_spark.streaming.ingest import (  # noqa: F401
+    incremental_degrees,
+    stream_edges,
+    stream_event_sessions,
+    stream_running_user_stats,
+)

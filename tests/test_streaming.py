@@ -1,0 +1,87 @@
+"""Structured Streaming: incremental degrees, sessions, stateful stats."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fog_spark.streaming import (
+    incremental_degrees,
+    stream_edges,
+    stream_event_sessions,
+    stream_running_user_stats,
+)
+
+
+def _write_edge_batch(spark, path, pairs):
+    pdf = pd.DataFrame(pairs, columns=["src", "dst"])
+    pdf["weight"] = 1.0
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_degrees_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "edges_in")
+    deg_path = str(tmp_path / "degrees")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_edge_batch(spark, inp, [(0, 1), (0, 2), (1, 2)])
+    q = incremental_degrees(stream_edges(spark, inp), deg_path, ckpt)
+    q.awaitTermination()
+    got1 = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    assert got1 == {0: 2, 1: 1}
+
+    # second drop arrives; stream resumes from checkpoint, merges delta
+    _write_edge_batch(spark, inp, [(0, 3), (2, 0), (2, 1)])
+    q = incremental_degrees(stream_edges(spark, inp), deg_path, ckpt)
+    q.awaitTermination()
+    got2 = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    assert got2 == {0: 3, 1: 1, 2: 2}
+
+
+def test_stream_event_sessions(spark, tmp_path):
+    inp = str(tmp_path / "events_in")
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:00", "2026-01-01 10:10", "2026-01-01 12:00", "2026-01-01 10:00"]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(inp)
+    q = (
+        stream_event_sessions(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT user_id, n_events, sum_value FROM sess ORDER BY user_id, n_events").collect()
+    # user 1: one 2-event session + one 1-event session; user 2: one session
+    assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in out] == [
+        (1, 1, 3.0),
+        (1, 2, 3.0),
+        (2, 1, 4.0),
+    ]
+
+
+def test_stream_running_user_stats(spark, tmp_path):
+    inp = str(tmp_path / "ev2")
+    rows = pd.DataFrame({"user_id": [1, 1, 2, 2, 2], "value": [5.0, 9.0, 1.0, 7.0, 3.0]})
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").parquet(inp)
+    q = (
+        stream_running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["user_id"]: (r["n"], r["max_value"]) for r in spark.sql("SELECT * FROM stats").collect()}
+    assert out == {1: (2, 9.0), 2: (3, 7.0)}
