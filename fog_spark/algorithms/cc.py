@@ -58,7 +58,9 @@ def connected_components(
         msgs = sym.join(frontier, sym["src"] == frontier["id"]).select(sym["dst"], "comp")
         agg = msgs.groupBy("dst").agg(F.min("comp").alias("new_comp"))
         state = (
-            state.join(maybe_broadcast(agg, active), state["id"] == agg["dst"], "left")
+            # fan-out guard: the agg can have far more rows than the
+            # frontier (hub out-neighborhoods), so scale the estimate
+            state.join(maybe_broadcast(agg, active * 64), state["id"] == agg["dst"], "left")
             .select(
                 "id",
                 F.least("comp", F.coalesce("new_comp", F.col("comp"))).alias("comp"),

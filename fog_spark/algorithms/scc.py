@@ -128,6 +128,13 @@ def strongly_connected_components(
         assigned_parts.append(done)
         remaining = materialize(remaining.join(done, "id", "left_anti"))
 
+    if remaining.count() > 0:
+        raise RuntimeError(
+            f"SCC did not converge within max_outer={max_outer} rounds; "
+            "raise max_outer (a partial result would silently drop vertices)"
+        )
+    if not assigned_parts:  # empty graph
+        return vertices.select("id", F.col("id").alias("component"))
     out = assigned_parts[0]
     for p in assigned_parts[1:]:
         out = out.unionByName(p)

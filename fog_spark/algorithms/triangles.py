@@ -71,6 +71,10 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
         vertices.join(member, "id", "left")
         .select(vertices["id"], F.coalesce("cnt", F.lit(0)).cast("long").alias("tri_count"))
     )
+    # materialize so the oriented-edge cache can be released now instead
+    # of leaking for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
     return out
 
 

@@ -30,13 +30,19 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 
 def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) word n-grams via array slicing — JVM-side transform."""
+    """(id, shingle) word n-grams via array slicing — JVM-side transform.
+
+    Documents with fewer than n tokens yield no shingles (guarded:
+    sequence(0, negative) would DESCEND and crash the slice)."""
     arr = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
     docs = docs.select(F.col(id_col).alias("id"), arr.alias("ts"))
-    ng = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("ts") - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
-    )
+    ng = F.when(
+        F.size("ts") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ts") - n),
+            lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("id", F.explode(ng).alias("t"))
 
 

@@ -75,8 +75,10 @@ def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
                 w = int(meta["width"] or 32)
                 img = FakeDecoder.decode(payload, h, w).astype(np.float64)
                 luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-                ph, pw = max(h // resize_to, 1), max(w // resize_to, 1)
-                small = luma[: ph * resize_to, : pw * resize_to].reshape(resize_to, ph, resize_to, pw).mean(axis=(1, 3))
+                # nearest-neighbor resample handles any h/w >= 1
+                rows = np.arange(resize_to) * h // resize_to
+                cols = np.arange(resize_to) * w // resize_to
+                small = luma[rows][:, cols]
                 ids.append(mid)
                 lumas.append(float(luma.mean()))
                 feats.append(small.flatten().astype(np.float32).tolist())
@@ -88,9 +90,9 @@ def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plan: explode frame indices 0, n, 2n, ...
     (decode of individual frames is the stubbed step)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
         .select("media_id", F.explode(idx).alias("frame_idx"))
     )
 

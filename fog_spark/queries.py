@@ -142,6 +142,7 @@ def q_pagerank_fog_k3(spark, sf_dir):
             "id", "outdeg", (F.col("rank") + F.coalesce("s", F.lit(0.0))).alias("rank")
         )
         state = materialize(state)
+    edges.unpersist()
     return state.select("id", F.round("rank", 5).alias("rank_r"))
 
 
@@ -179,6 +180,7 @@ def q_cc_hashmin(spark, sf_dir):
             "id", F.least("comp", F.coalesce("mc", F.col("comp"))).alias("comp")
         )
         state = materialize(state)
+    edges.unpersist()
     return state.select("id", F.col("comp").alias("component"))
 
 
@@ -216,6 +218,7 @@ def q_lpa_k2(spark, sf_dir):
             "id", F.coalesce("nl", F.col("label")).alias("label")
         )
         state = materialize(state)
+    edges.unpersist()
     return state.select("id", "label")
 
 
@@ -311,6 +314,7 @@ def q_bfs_k4(spark, sf_dir):
             "id", F.least("level", F.coalesce("cand", F.col("level"))).alias("level")
         )
         state = materialize(state)
+    edges.unpersist()
     return state.select("id", "level")
 
 
@@ -354,6 +358,7 @@ def q_sssp_k4(spark, sf_dir):
             "id", F.least("dist", F.coalesce("cand", F.col("dist"))).alias("dist")
         )
         state = materialize(state)
+    edges.unpersist()
     return state.select("id", F.round("dist", 4).alias("dist_r"))
 
 
@@ -763,10 +768,15 @@ def q_ngram3_stats(spark, sf_dir):
     Jaccard dedup), engine-portable via sequence+transform."""
     arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     docs = load(spark, sf_dir, "documents").select("doc_id", arr.alias("ts"))
-    ng = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("ts") - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at("ts", i), F.element_at("ts", i + 1), F.element_at("ts", i + 2)),
-    )
+    # guard short docs: sequence(1, 0) would DESCEND in Spark (DuckDB's
+    # generate_series(1, 0) is empty) — both sides must emit no shingles
+    ng = F.when(
+        F.size("ts") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("ts", i), F.element_at("ts", i + 1), F.element_at("ts", i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     shingled = docs.select("doc_id", F.explode(ng).alias("g"))
     return shingled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"), F.countDistinct("g").alias("n_unique_shingles")

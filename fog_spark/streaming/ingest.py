@@ -53,6 +53,15 @@ def incremental_degrees(
     spark = edges_stream.sparkSession
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # idempotence: foreachBatch is at-least-once; a marker file inside
+        # the table dir (underscore-prefixed: ignored by parquet readers)
+        # travels atomically with the os.replace, so a replayed batch
+        # after a crash is skipped instead of double-counted.
+        marker = os.path.join(degrees_path, "_applied_batch")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return
         delta = batch.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
         if os.path.exists(degrees_path):
             cur = spark.read.parquet(degrees_path)
@@ -68,6 +77,8 @@ def incremental_degrees(
             merged = delta.select("id", F.col("d").alias("outdeg"))
         tmp = degrees_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as f:
+            f.write(str(batch_id))
         import shutil
 
         if os.path.exists(degrees_path):

@@ -47,8 +47,7 @@ def test_word_ngrams(spark, docs):
 def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(docs, k=16, bands=8).collect()}
     assert (0, 1) in pairs  # exact dups always collide
-    assert (2, 0) not in pairs or True  # ordering: a < b
-    assert all(a < b for a, b in pairs)
+    assert all(a < b for a, b in pairs)  # canonical pair ordering
     assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated docs don't
 
 
@@ -141,3 +140,30 @@ def test_multimodal_plumbing(spark):
     assert len(aud) == 1 and aud[0]["wave_std"] > 0
     frames = [r["frame_idx"] for r in frame_sample(media, every_n=10).collect()]
     assert frames == [0, 10, 20]
+
+
+def test_short_documents_do_not_crash_ngram_ops(spark):
+    """Regression: sequence(0, negative) descends in Spark and crashed
+    every n-gram op on docs with < n tokens."""
+    short = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "one", "two words"]})
+    )
+    assert word_ngrams(short, n=3).count() == 0
+    assert minhash_lsh_candidates(short, k=8, bands=4).count() == 0
+    assert ngram_jaccard_pairs(short, threshold=0.1).count() == 0
+
+
+def test_small_image_and_empty_video(spark):
+    """Regression: reshape crashed on images smaller than the resize grid;
+    frame_sample emitted a ghost frame for 0/NULL-frame videos."""
+    from fog_spark.datapipe.multimodal import MEDIA_SCHEMA, frame_sample, image_features
+
+    rows = [
+        (0, "image", b"tiny", {"width": 4, "height": 3, "sample_rate": None, "n_frames": None}),
+        (1, "video", b"v0", {"width": None, "height": None, "sample_rate": None, "n_frames": 0}),
+        (2, "video", b"v1", {"width": None, "height": None, "sample_rate": None, "n_frames": None}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = image_features(media).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 64
+    assert frame_sample(media).count() == 0

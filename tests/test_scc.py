@@ -35,3 +35,10 @@ def test_scc_er_graph(spark):
     vertices = spark.range(g.n).select("id")
     got = _col(strongly_connected_components(graph_to_spark(spark, g), vertices), g.n)
     assert got == expected.tolist()
+
+
+def test_scc_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    vertices = spark.range(3).select("id")
+    got = {r["id"]: r["component"] for r in strongly_connected_components(empty, vertices).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -85,3 +85,22 @@ def test_stream_running_user_stats(spark, tmp_path):
     q.awaitTermination()
     out = {r["user_id"]: (r["n"], r["max_value"]) for r in spark.sql("SELECT * FROM stats").collect()}
     assert out == {1: (2, 9.0), 2: (3, 7.0)}
+
+
+def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
+    """Regression: foreachBatch is at-least-once; a replayed batch must
+    not double-count (marker travels atomically with the table swap)."""
+    import shutil
+
+    inp = str(tmp_path / "edges_in2")
+    deg_path = str(tmp_path / "degrees2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_edge_batch(spark, inp, [(7, 8), (7, 9)])
+    incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
+    before = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    # simulate a crash that lost the stream commit but kept the table:
+    # wipe the checkpoint so the same files replay as batch 0 again
+    shutil.rmtree(ckpt)
+    incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
+    after = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    assert after == before == {7: 2}
