@@ -10,11 +10,15 @@ oracle_sql()    — matching DuckDB-runnable ANSI SQL per query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from fog_spark.queries import ORACLES, QUERIES, cooccur_edges
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fog_spark.queries import ORACLES, QUERIES, cooccur_edges  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
