@@ -34,10 +34,16 @@ def bfs_levels(
         F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(UNREACHED)).cast("long").alias("level"),
         (F.col("id") == root).alias("changed"),
     )
-    state = materialize(state, ctx, 0)
-    active = 1
+    start_step = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_step, state = rp
+    if start_step == 0:
+        state = materialize(state, ctx, 0)
+    active = state.filter("changed").count() if start_step else 1
 
-    for step in range(1, max_iters + 1):
+    for step in range(start_step + 1, max_iters + 1):
         if active == 0:
             break
         t0 = time.time()

@@ -36,10 +36,21 @@ def label_propagation(
     sym = symmetrize(edges).distinct().persist()
 
     state = vertices.select("id", F.col("id").alias("label"))
-    state = materialize(state, ctx, 0)
+    start_step = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_step, state = rp
+            state = state.select("id", "label")
+            last = ctx.last_committed() or {}
+            if last.get("active") == 0:  # already at fixed point
+                sym.unpersist()
+                return state
+    if start_step == 0:
+        state = materialize(state, ctx, 0)
     n = state.count()
 
-    for step in range(1, max_iters + 1):
+    for step in range(start_step + 1, max_iters + 1):
         t0 = time.time()
         st = maybe_broadcast(state, n)
         msgs = sym.join(st, sym["src"] == st["id"]).select(sym["dst"], "label")

@@ -128,3 +128,25 @@ def test_pagerank_standard_resume(spark, tmp_path):
     again_df, again_iters = pagerank_standard(edges, vertices, tol=1e-6, ctx=ctx3)
     assert again_iters == total_iters
     assert {r["id"]: r["rank"] for r in again_df.collect()} == clean
+
+
+def test_bfs_sssp_lpa_resume(spark, tmp_path):
+    from fog_spark.algorithms import bfs_levels, label_propagation, sssp
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+
+    for name, fn, key in [
+        ("bfs", lambda **kw: bfs_levels(edges, 0, vertices, **kw), "level"),
+        ("sssp", lambda **kw: sssp(edges, 0, vertices, **kw), "dist"),
+        ("lpa", lambda **kw: label_propagation(edges, vertices, **kw), "label"),
+    ]:
+        clean_ctx = RunContext(spark, str(tmp_path), f"{name}Clean")
+        clean = {r["id"]: r[key] for r in fn(ctx=clean_ctx).collect()}
+        ctx1 = RunContext(spark, str(tmp_path), f"{name}R")
+        fn(max_iters=1, ctx=ctx1)  # crash after one superstep
+        assert ctx1.last_committed()["superstep"] == 1
+        ctx2 = RunContext(spark, str(tmp_path), f"{name}R")
+        resumed = {r["id"]: r[key] for r in fn(ctx=ctx2).collect()}
+        assert resumed == clean, name
