@@ -13,7 +13,15 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of, with_frontier_hint
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.superstep import (
+    active_metric,
+    materialize,
+    materialize_observed,
+    maybe_broadcast,
+    vertices_of,
+    with_frontier_hint,
+)
 
 UNREACHED = 4294967295
 
@@ -24,10 +32,19 @@ def bfs_levels(
     vertices: DataFrame | None = None,
     max_iters: int = 10_000,
     ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, level); unreached vertices carry the 4294967295 sentinel."""
     vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+
+    salted = False
+    if hub_threshold is not None:
+        hubs = top_degree_keys(fwd, "dst", hub_threshold)
+        salted = bool(hubs.limit(1).count())
+        if salted:
+            fwd = tag_hubs(fwd, hubs)
 
     state = vertices.select(
         "id",
@@ -41,6 +58,7 @@ def bfs_levels(
             start_step, state = rp
     if start_step == 0:
         state = materialize(state, ctx, 0)
+    n_vertices = state.count()
     active = state.filter("changed").count() if start_step else 1
 
     for step in range(start_step + 1, max_iters + 1):
@@ -48,20 +66,27 @@ def bfs_levels(
             break
         t0 = time.time()
         frontier = with_frontier_hint(state.filter("changed").select("id", "level"), active)
-        msgs = fwd.join(frontier, fwd["src"] == frontier["id"]).select(
-            fwd["dst"], (F.col("level") + 1).alias("cand")
-        )
-        agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
+        msg_cols = [fwd["dst"], (F.col("level") + 1).alias("cand")] + ([fwd[HUB_FLAG]] if salted else [])
+        msgs = fwd.join(frontier, fwd["src"] == frontier["id"]).select(*msg_cols)
+        if salted:
+            agg = skewed_gather(msgs, "dst", [("min", "cand", "cand")], n_salts)
+        else:
+            agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
         state = (
-            state.join(maybe_broadcast(agg, active * 64), state["id"] == agg["dst"], "left")
+            # fan-out guard: the agg is bounded by |V|, not frontier * 64
+            state.join(
+                maybe_broadcast(agg, min(active * 64, n_vertices)),
+                state["id"] == agg["dst"],
+                "left",
+            )
             .select(
                 "id",
                 F.least("level", F.coalesce("cand", F.col("level"))).alias("level"),
                 (F.coalesce("cand", F.col("level")) < F.col("level")).alias("changed"),
             )
         )
-        state = materialize(state, ctx, step)
-        active = state.filter("changed").count()
+        state, om = materialize_observed(state, [active_metric()], ctx, step)
+        active = int(om["active"] or 0)
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 

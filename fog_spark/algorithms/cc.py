@@ -12,6 +12,14 @@ one on disk).
 TARGET-engine frontier scheduling (fogsrc/fog_engine.cpp:159-209):
 only changed vertices scatter; terminate when the frontier empties.
 The frontier join is broadcast-hinted when it fits.
+
+Scale hygiene:
+- hub gather keys (in-degree > hub_threshold) route through the
+  two-stage salted fold (engine/skew.skewed_gather) so no single
+  reduce partition owns a hub's entire MIN gather;
+- the per-superstep active count is observed on the materialize job
+  itself (engine/superstep.materialize_observed) — one Spark job per
+  superstep, not two.
 """
 
 from __future__ import annotations
@@ -20,8 +28,11 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
+    active_metric,
     materialize,
+    materialize_observed,
     maybe_broadcast,
     symmetrize,
     vertices_of,
@@ -34,10 +45,19 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iters: int = 200,
     ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, component) — component = min id of the WCC. Exact."""
     vertices = vertices if vertices is not None else vertices_of(edges)
     sym = symmetrize(edges)  # self-loops dropped: TARGET rule cpu_thread.cpp:236-240
+
+    salted = False
+    if hub_threshold is not None:
+        hubs = top_degree_keys(sym, "dst", hub_threshold)
+        salted = bool(hubs.limit(1).count())
+        if salted:
+            sym = tag_hubs(sym, hubs)
 
     # state carries a `changed` flag; the frontier is a projection of it.
     state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
@@ -48,27 +68,36 @@ def connected_components(
             start_step, state = rp  # changed flag persisted -> frontier restored
     if start_step == 0:
         state = materialize(state, ctx, 0)
-    active = state.filter("changed").count() if start_step else state.count()
+    n_vertices = state.count()
+    active = state.filter("changed").count() if start_step else n_vertices
 
     for step in range(start_step + 1, max_iters + 1):
         if active == 0:
             break
         t0 = time.time()
         frontier = with_frontier_hint(state.filter("changed").select("id", "comp"), active)
-        msgs = sym.join(frontier, sym["src"] == frontier["id"]).select(sym["dst"], "comp")
-        agg = msgs.groupBy("dst").agg(F.min("comp").alias("new_comp"))
+        msg_cols = [sym["dst"], F.col("comp")] + ([sym[HUB_FLAG]] if salted else [])
+        msgs = sym.join(frontier, sym["src"] == frontier["id"]).select(*msg_cols)
+        if salted:
+            agg = skewed_gather(msgs, "dst", [("min", "comp", "new_comp")], n_salts)
+        else:
+            agg = msgs.groupBy("dst").agg(F.min("comp").alias("new_comp"))
         state = (
             # fan-out guard: the agg can have far more rows than the
-            # frontier (hub out-neighborhoods), so scale the estimate
-            state.join(maybe_broadcast(agg, active * 64), state["id"] == agg["dst"], "left")
+            # frontier (hub out-neighborhoods) but never more than |V|
+            state.join(
+                maybe_broadcast(agg, min(active * 64, n_vertices)),
+                state["id"] == agg["dst"],
+                "left",
+            )
             .select(
                 "id",
                 F.least("comp", F.coalesce("new_comp", F.col("comp"))).alias("comp"),
                 (F.coalesce("new_comp", F.col("comp")) < F.col("comp")).alias("changed"),
             )
         )
-        state = materialize(state, ctx, step)
-        active = state.filter("changed").count()
+        state, om = materialize_observed(state, [active_metric()], ctx, step)
+        active = int(om["active"] or 0)
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 

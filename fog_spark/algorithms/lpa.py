@@ -13,6 +13,11 @@ one MIN over struct(-count, label): lexicographic struct ordering gives
 "highest count, then smallest label" with no window function and no
 second shuffle (the second groupBy reuses the first's hash partitioning
 on dst prefix via AQE).
+
+Scale hygiene: hub (dst) keys run the count stage through the salted
+two-stage fold (engine/skew.skewed_gather) on the composite
+(dst, label) key, and the changed count is observed on the materialize
+job (one Spark job per superstep).
 """
 
 from __future__ import annotations
@@ -21,7 +26,15 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, maybe_broadcast, symmetrize, vertices_of
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.superstep import (
+    active_metric,
+    materialize,
+    materialize_observed,
+    maybe_broadcast,
+    symmetrize,
+    vertices_of,
+)
 
 
 def label_propagation(
@@ -29,11 +42,21 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iters: int = 20,
     ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, label). Isolated vertices keep their own id."""
     vertices = vertices if vertices is not None else vertices_of(edges)
     # mode counts must not double-count duplicate (src,dst) pairs
-    sym = symmetrize(edges).distinct().persist()
+    sym = symmetrize(edges).distinct()
+
+    salted = False
+    if hub_threshold is not None:
+        hubs = top_degree_keys(sym, "dst", hub_threshold)
+        salted = bool(hubs.limit(1).count())
+        if salted:
+            sym = tag_hubs(sym, hubs)
+    sym = sym.persist()
 
     state = vertices.select("id", F.col("id").alias("label"))
     start_step = 0
@@ -53,8 +76,12 @@ def label_propagation(
     for step in range(start_step + 1, max_iters + 1):
         t0 = time.time()
         st = maybe_broadcast(state, n)
-        msgs = sym.join(st, sym["src"] == st["id"]).select(sym["dst"], "label")
-        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        msg_cols = [sym["dst"], F.col("label")] + ([sym[HUB_FLAG]] if salted else [])
+        msgs = sym.join(st, sym["src"] == st["id"]).select(*msg_cols)
+        if salted:
+            counts = skewed_gather(msgs, ["dst", "label"], [("count", F.lit(1), "cnt")], n_salts)
+        else:
+            counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
         best = counts.groupBy("dst").agg(
             F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lbl"))).alias("b")
         ).select("dst", F.col("b.lbl").alias("new_label"))
@@ -66,8 +93,8 @@ def label_propagation(
                 (F.coalesce("new_label", F.col("label")) != F.col("label")).alias("changed"),
             )
         )
-        state = materialize(state, ctx, step)
-        changed = state.filter("changed").count()
+        state, om = materialize_observed(state, [active_metric()], ctx, step)
+        changed = int(om["active"] or 0)
         state = state.select("id", "label")
         if ctx is not None:
             ctx.commit(step, active=changed, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))

@@ -44,9 +44,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.superstep import materialize, materialize_observed, maybe_broadcast, vertices_of
 
 DAMPING = 0.85  # application/pagerank.hpp:22
+
+
+def _hub_tagged(edges: DataFrame, hub_threshold: int | None) -> tuple[DataFrame, bool]:
+    """Tag hub in-degree keys once before the loop (skew mitigation)."""
+    if hub_threshold is None:
+        return edges, False
+    hubs = top_degree_keys(edges, "dst", hub_threshold)
+    if not hubs.limit(1).count():
+        return edges, False
+    return tag_hubs(edges, hubs), True
 
 
 def _degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -70,6 +81,8 @@ def pagerank_fog(
     ctx=None,
     kernel: str = "df",
     n_kernel_parts: int | None = None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> DataFrame:
     """FOG-mode accumulating PageRank. Returns (id, rank)."""
     spark = edges.sparkSession
@@ -82,14 +95,20 @@ def pagerank_fog(
         if rp is not None:
             start_step, state = rp
 
+    salted = False
     if kernel == "csr":
         from fog_spark.engine.csr import pack_csr
 
         nparts = n_kernel_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
         packed = pack_csr(edges, nparts).persist()
         packed.count()  # pack ONCE; reused by every superstep
+    else:
+        edges, salted = _hub_tagged(edges, hub_threshold)
 
-    state = materialize(state, ctx, start_step) if ctx else state.localCheckpoint(eager=True)
+    if start_step == 0:
+        # resumed state is already parquet-backed — re-writing it would
+        # round-trip (and briefly delete) the only committed snapshot
+        state = materialize(state, ctx, 0)
     n = state.count()  # known once; drives broadcast decisions every superstep
 
     for step in range(start_step + 1, niters + 1):
@@ -106,8 +125,12 @@ def pagerank_fog(
         else:
             msg = (d * F.col("rank") / F.col("outdeg") + (1.0 - d)).alias("msg")
             st = maybe_broadcast(state, n)
-            msgs = edges.join(st, edges["src"] == st["id"]).select(edges["dst"], msg)
-            agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
+            msg_cols = [edges["dst"], msg] + ([edges[HUB_FLAG]] if salted else [])
+            msgs = edges.join(st, edges["src"] == st["id"]).select(*msg_cols)
+            if salted:
+                agg = skewed_gather(msgs, "dst", [("sum", "msg", "incoming")], n_salts)
+            else:
+                agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
         state = (
             state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
             .select("id", "outdeg", (F.col("rank") + F.coalesce("incoming", F.lit(0.0))).alias("rank"))
@@ -133,17 +156,20 @@ def pagerank_standard(
     tol: float = 1e-6,
     max_iters: int = 200,
     ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> tuple[DataFrame, int]:
     """Normalized PageRank to tol; returns ((id, rank), iterations_run).
 
-    One agg job per superstep computes BOTH the convergence delta and the
-    next iteration's dangling mass, so the driver loop costs exactly one
-    extra small job over the shuffle itself.
+    The convergence delta and the next iteration's dangling mass are
+    OBSERVED on the materialize job itself — one Spark job per
+    superstep, no separate aggregation scan.
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
     state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
     n = state.count()
     state = state.withColumn("rank", F.lit(1.0 / n))
+    edges, salted = _hub_tagged(edges, hub_threshold)
 
     start_it = 0
     if ctx is not None:
@@ -163,10 +189,14 @@ def pagerank_standard(
     for it in range(start_it + 1, max_iters + 1):
         t0 = time.time()
         st = maybe_broadcast(state, n)
-        msgs = edges.join(st, edges["src"] == st["id"]).select(
-            edges["dst"], (F.col("rank") / F.col("outdeg")).alias("msg")
+        msg_cols = [edges["dst"], (F.col("rank") / F.col("outdeg")).alias("msg")] + (
+            [edges[HUB_FLAG]] if salted else []
         )
-        agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
+        msgs = edges.join(st, edges["src"] == st["id"]).select(*msg_cols)
+        if salted:
+            agg = skewed_gather(msgs, "dst", [("sum", "msg", "contrib")], n_salts)
+        else:
+            agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
         state = (
             state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
             .select(
@@ -176,12 +206,16 @@ def pagerank_standard(
                 ((1.0 - d) / n + d * (F.coalesce("contrib", F.lit(0.0)) + dangling / n)).alias("rank"),
             )
         )
-        state = materialize(state, ctx, it)
-        row = state.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
-            F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
-        ).collect()[0]
-        delta, dangling = float(row["delta"]), float(row["dangling"] or 0.0)
+        state, om = materialize_observed(
+            state,
+            [
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+            ],
+            ctx,
+            it,
+        )
+        delta, dangling = float(om["delta"]), float(om["dangling"] or 0.0)
         if ctx is not None:
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:

@@ -19,7 +19,15 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of, with_frontier_hint
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.superstep import (
+    active_metric,
+    materialize,
+    materialize_observed,
+    maybe_broadcast,
+    vertices_of,
+    with_frontier_hint,
+)
 
 EPS = 1e-3
 
@@ -30,10 +38,19 @@ def sssp(
     vertices: DataFrame | None = None,
     max_iters: int = 10_000,
     ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, dist, pred); unreached = (inf, -1). Requires a weight column."""
     vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
+
+    salted = False
+    if hub_threshold is not None:
+        hubs = top_degree_keys(fwd, "dst", hub_threshold)
+        salted = bool(hubs.limit(1).count())
+        if salted:
+            fwd = tag_hubs(fwd, hubs)
 
     state = vertices.select(
         "id",
@@ -48,6 +65,7 @@ def sssp(
             start_step, state = rp
     if start_step == 0:
         state = materialize(state, ctx, 0)
+    n_vertices = state.count()
     active = state.filter("changed").count() if start_step else 1
 
     for step in range(start_step + 1, max_iters + 1):
@@ -55,15 +73,20 @@ def sssp(
             break
         t0 = time.time()
         frontier = with_frontier_hint(state.filter("changed").select("id", "dist"), active)
-        msgs = fwd.join(frontier, fwd["src"] == frontier["id"]).select(
+        msg_cols = [
             fwd["dst"],
             F.struct(
                 (F.col("dist") + F.col("weight")).alias("dist"),
                 frontier["id"].alias("pred"),
             ).alias("cand"),
-        )
-        agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
-        agg = maybe_broadcast(agg, active * 64)
+        ] + ([fwd[HUB_FLAG]] if salted else [])
+        msgs = fwd.join(frontier, fwd["src"] == frontier["id"]).select(*msg_cols)
+        if salted:
+            agg = skewed_gather(msgs, "dst", [("min", "cand", "cand")], n_salts)
+        else:
+            agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
+        # fan-out guard: the agg is bounded by |V|, not frontier * 64
+        agg = maybe_broadcast(agg, min(active * 64, n_vertices))
         absorb = (F.col("cand.dist") < F.col("dist")) & (
             F.abs(F.col("cand.dist") - F.col("dist")) > EPS
         )
@@ -76,8 +99,8 @@ def sssp(
                 F.coalesce(absorb, F.lit(False)).alias("changed"),
             )
         )
-        state = materialize(state, ctx, step)
-        active = state.filter("changed").count()
+        state, om = materialize_observed(state, [active_metric()], ctx, step)
+        active = int(om["active"] or 0)
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 

@@ -51,3 +51,59 @@ def top_degree_keys(edges: DataFrame, key: str = "dst", threshold: int = 1_000_0
     """Keys whose degree exceeds ``threshold`` — candidates for salting /
     broadcast special-casing at 10^12-edge scale."""
     return edges.groupBy(key).count().filter(F.col("count") > threshold).select(key)
+
+
+# Degree above which a gather key counts as a hub in the live algorithm
+# paths. At 10^12 edges a single hub's in-neighborhood would otherwise
+# concentrate one reduce partition; below it, plain groupBy is strictly
+# cheaper (no second exchange).
+HUB_DEGREE_THRESHOLD = 1_000_000
+
+HUB_FLAG = "_hub"
+
+
+def tag_hubs(edges: DataFrame, hub_keys: DataFrame, key: str = "dst", flag: str = HUB_FLAG) -> DataFrame:
+    """Mark edges whose ``key`` is a hub with a boolean ``flag`` column.
+
+    The hub set is tiny by construction (≤ |E| / threshold keys), so the
+    tag join is a broadcast hash join — no shuffle, evaluated map-side.
+    Tag ONCE before the superstep loop so the per-superstep cost is a
+    column reference, not a join.
+    """
+    marked = hub_keys.select(key).withColumn(flag, F.lit(True))
+    return edges.join(F.broadcast(marked), key, "left").withColumn(
+        flag, F.coalesce(F.col(flag), F.lit(False))
+    )
+
+
+def skewed_gather(
+    msgs: DataFrame,
+    key: str | list[str],
+    aggs: list[tuple[str, "str | Column", str]],
+    n_salts: int = 16,
+    hub_col: str = HUB_FLAG,
+) -> DataFrame:
+    """groupBy(key).agg(...) with hub-flagged rows salted over n_salts.
+
+    Non-hub rows get salt 0, so stage 1 is the same exchange volume as a
+    plain partial-agg groupBy; stage 2 re-folds at most
+    (distinct keys + (n_salts-1)·hubs) rows — a near-free second
+    aggregation that removes the single-reducer ceiling on hub keys.
+    This is the live wiring of the north_star's salted-key skew
+    mitigation (FOG's analogue: work stealing,
+    fogsrc/fog_engine.cpp:560-758).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.when(
+        F.col(hub_col), F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    ).otherwise(F.lit(0))
+    stage1: list[Column] = []
+    stage2: list[Column] = []
+    for fn, col, alias in aggs:
+        if fn == "count":
+            stage1.append(F.count(col).alias(alias))
+        else:
+            stage1.append(getattr(F, fn)(col).alias(alias))
+        stage2.append(_REAGG[fn](alias).alias(alias))
+    partial = msgs.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*stage1)
+    return partial.groupBy(*keys).agg(*stage2)

@@ -24,7 +24,7 @@ Physical notes (the part FOG does by hand that Spark gives us):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
 # Below this many active vertices, hint the frontier join to broadcast
 # (replaces FOG's bitmap fast path, fogsrc/fog_engine.cpp:560-568).
@@ -101,6 +101,31 @@ def materialize(df: DataFrame, ctx=None, step: int | None = None, name: str = "s
         out = df.localCheckpoint(eager=True)
     _cleanup_tick(df.sparkSession)
     return out
+
+
+def materialize_observed(
+    df: DataFrame,
+    metrics: list[Column],
+    ctx=None,
+    step: int | None = None,
+    name: str = "state",
+) -> tuple[DataFrame, dict]:
+    """``materialize`` + observed metrics in the SAME Spark job.
+
+    The per-superstep active-vertex count used to be a second
+    ``filter(changed).count()`` job after the materialize; ``observe``
+    folds it into the write/localCheckpoint action, so each superstep
+    costs exactly one job (at 1000s of supersteps the saved scan per
+    step is real). Metrics must be pre-aliased aggregate columns.
+    """
+    obs = Observation()
+    out = materialize(df.observe(obs, *metrics), ctx, step, name)
+    return out, obs.get
+
+
+def active_metric(col: str = "changed") -> Column:
+    """Observed metric: number of rows with ``col`` true."""
+    return F.sum(F.col(col).cast("long")).alias("active")
 
 
 def with_frontier_hint(frontier: DataFrame, active_count: int) -> DataFrame:

@@ -90,7 +90,8 @@ def _extract_refs_pandas(repos: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             is_py = pdf["lang"] == "python"
-            for mask, rex, fmt in ((is_py, py_re, "src/{}.py"), (~is_py, c_re, "src/{}")):
+            is_c = pdf["lang"].isin(["c", "cpp"])  # match _extract_refs_builtin's lang filter
+            for mask, rex, fmt in ((is_py, py_re, "src/{}.py"), (is_c, c_re, "src/{}")):
                 sub = pdf[mask]
                 if sub.empty:
                     continue
