@@ -166,21 +166,44 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return per_bit.select("id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, prefix_bits: int = 16, max_hamming: int = 3, **kw) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits,
-    verify Hamming distance <= max_hamming within blocks.
+def simhash_near_dups(docs: DataFrame, n_segments: int = 4, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``n_segments`` disjoint bit
+    segments, verify Hamming distance <= max_hamming within blocks.
 
-    (Production variant uses multiple rotated prefixes; one prefix is
-    the demonstration block strategy.)
+    Pigeonhole guarantee: a pair with Hamming distance d < n_segments
+    agrees EXACTLY on at least one segment, so with the default
+    (4 segments of 16 bits, max_hamming 3) recall is 100% — unlike a
+    single-prefix block, which misses any pair whose differing bits
+    land in the prefix. Each signature lands in n_segments blocks; the
+    per-block join stays bucket-local.
     """
-    sig = simhash64(docs, **kw)
-    blocked = sig.withColumn("blk", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    return simhash_pairs_from_sigs(simhash64(docs, **kw), n_segments, max_hamming)
+
+
+def simhash_pairs_from_sigs(sig: DataFrame, n_segments: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Segment-blocked Hamming join over a precomputed (id, simhash)
+    frame (see simhash_near_dups for the recall guarantee)."""
+    width = 64 // n_segments
+    # segment s = bits [s*width, (s+1)*width); key carries the segment
+    # index so equal bit patterns in different segments never collide
+    seg_keys = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftrightunsigned("simhash", s * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bits"),
+            )
+            for s in range(n_segments)
+        ]
+    )
+    blocked = sig.select("id", "simhash", F.explode(seg_keys).alias("blk"))
     a = blocked.select("blk", F.col("id").alias("a_id"), F.col("simhash").alias("ha"))
     b = blocked.select("blk", F.col("id").alias("b_id"), F.col("simhash").alias("hb"))
     return (
         a.join(b, "blk")
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .select("a_id", "b_id", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .distinct()  # a pair can agree on several segments; ids+hamming only
     )

@@ -70,19 +70,31 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(query_id, rank, nn_id, cos): approximate top-k via sign-LSH.
 
     n_tables independent hash tables of n_planes bits each; candidates =
     vectors sharing a bucket in ANY table. Recall grows with tables;
     bucket-local joins keep work linear in Σ bucket².
+
+    100 TB hygiene (each of these was a scale-killer):
+    - hyperplanes are regenerated deterministically from (dim, seed)
+      INSIDE the pandas UDF using the Arrow batch's own dimensionality —
+      no driver-side first() row fetch, nothing broadcast;
+    - buckets larger than ``max_bucket`` are dropped before the
+      candidate join (mirrors dedup.minhash_lsh_candidates): one
+      degenerate bucket (e.g. the all-zeros region) would otherwise be
+      a quadratic self-join;
+    - candidate pairs are deduped on (query_id, nn_id) IDS ONLY, and
+      embeddings re-joined afterwards — a distinct over rows carrying
+      two full float arrays shuffles the corpus once per candidate.
     """
-    dim = len(embs.select(emb_col).first()[0])
-    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def bucket_ids(embcol: pd.Series) -> pd.Series:
         mat = np.vstack(embcol.to_numpy())  # (batch, dim) — one matmul per Arrow batch
+        planes = [_hyperplanes(mat.shape[1], n_planes, seed + t) for t in range(n_tables)]
         out = []
         sigs = [(mat @ p.T) > 0 for p in planes]  # list of (batch, n_planes) bools
         weights = 1 << np.arange(n_planes, dtype=np.int64)
@@ -92,17 +104,25 @@ def lsh_ann_topk(
         return pd.Series(out)
 
     base = with_norm(embs, id_col, emb_col).withColumn("buckets", bucket_ids(F.col("emb")))
-    exploded = base.select("id", "emb", "nrm", F.explode("buckets").alias("bkt"))
-    a = exploded.select(F.col("bkt"), F.col("id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
-    b = exploded.select(F.col("bkt"), F.col("id").alias("nn_id"), F.col("emb").alias("be"), F.col("nrm").alias("bn"))
+    exploded = base.select("id", F.explode("buckets").alias("bkt"))
+    sizes = exploded.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    small = exploded.join(sizes.filter(F.col("n") <= max_bucket).select("bkt"), "bkt")
+    a = small.select("bkt", F.col("id").alias("query_id"))
+    b = small.select("bkt", F.col("id").alias("nn_id"))
     cand = (
         a.join(b, "bkt")
         .where(F.col("query_id") != F.col("nn_id"))
-        .select("query_id", "nn_id", "qe", "be", "qn", "bn")
+        .select("query_id", "nn_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "nn_id", (_dot(F.col("qe"), F.col("be")) / (F.col("qn") * F.col("bn"))).alias("cos")
+    qe = base.select(F.col("id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
+    be = base.select(F.col("id").alias("nn_id"), F.col("emb").alias("be"), F.col("nrm").alias("bn"))
+    scored = (
+        cand.join(qe, "query_id")
+        .join(be, "nn_id")
+        .select(
+            "query_id", "nn_id", (_dot(F.col("qe"), F.col("be")) / (F.col("qn") * F.col("bn"))).alias("cos")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -237,15 +237,20 @@ def _sql_lpa(k: int) -> str:
 
 
 def q_triangle_total(spark, sf_dir):
-    """Exact triangle count via ordered two-path closure (SURVEY §2.3)."""
-    und = (
-        cooccur_edges(spark, sf_dir)
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    """Exact triangle count (SURVEY §2.3) — degree-oriented.
+
+    Reuses algorithms/triangles._oriented: orienting each edge from the
+    lower-(degree, id) endpoint bounds the wedge stream by ~sqrt(m) per
+    vertex instead of max-degree, so no single task owns a hub's O(deg²)
+    wedges on a power-law graph. The oracle SQL is orientation-agnostic
+    (identical triangle set either way).
+    """
+    from fog_spark.algorithms.triangles import _oriented
+
+    o = _oriented(cooccur_edges(spark, sf_dir))
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -258,25 +263,12 @@ SQL_TRIANGLE_TOTAL = (
 
 
 def q_triangles_per_vertex(spark, sf_dir):
-    und = (
-        cooccur_edges(spark, sf_dir)
-        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .distinct()
-    )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    member = (
-        tri.select(F.col("x").alias("id"))
-        .unionByName(tri.select(F.col("y").alias("id")))
-        .unionByName(tri.select(F.col("z").alias("id")))
-    )
-    verts = und.select(F.col("a").alias("id")).unionByName(und.select(F.col("b").alias("id"))).distinct()
-    cnt = member.groupBy("id").agg(F.count(F.lit(1)).alias("c"))
-    return verts.join(cnt, "id", "left").select(
-        "id", F.coalesce("c", F.lit(0)).cast("long").alias("tri_count")
-    )
+    """Per-vertex triangle membership — delegates to the degree-oriented
+    library implementation (algorithms/triangles.triangle_counts); the
+    un-oriented wedge join this replaced melts one task on hub vertices."""
+    from fog_spark.algorithms.triangles import triangle_counts
+
+    return triangle_counts(cooccur_edges(spark, sf_dir)).select("id", "tri_count")
 
 
 SQL_TRIANGLES_PER_VERTEX = f"""
@@ -867,5 +859,239 @@ ORACLES.update(
         "ngram3_stats": SQL_NGRAM3_STATS,
         "events_running_max": SQL_EVENTS_RUNNING_MAX,
         "embedding_knn_top3": SQL_EMBEDDING_KNN_TOP3,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: SCC (directed FW-BW), adjlist source, multimodal
+# ---------------------------------------------------------------------------
+
+# Directed graph for SCC: within each order, lineitems sorted by
+# l_linenumber form a part-to-part chain, closed back to the first part
+# — every order is a directed cycle, and orders sharing parts merge into
+# larger SCCs. Self-edges (same part on consecutive lines) are dropped.
+DEDGES_CTE = """
+dlines AS (SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT p AS src,
+           coalesce(lead(p) OVER w, first_value(p) OVER w) AS dst
+    FROM dlines
+    WINDOW w AS (PARTITION BY k ORDER BY ln)
+  ) WHERE src <> dst
+)
+""".strip()
+
+
+def directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): the order-chain directed graph (see DEDGES_CTE)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"), F.col("l_partkey").alias("p")
+    )
+    w = Window.partitionBy("k").orderBy("ln")
+    chained = li.select(
+        F.col("p").alias("src"),
+        F.coalesce(F.lead("p").over(w), F.first("p").over(w)).alias("dst"),
+    )
+    return chained.where(F.col("src") != F.col("dst")).distinct()
+
+
+SCC_FWD_ROUNDS = 6
+SCC_BWD_ROUNDS = 6
+
+
+def q_scc_fwbw_k6(spark, sf_dir):
+    """SCC by one FW-BW coloring round, fixed supersteps (SURVEY §2.8 A6/A7,
+    reference application/scc.hpp:22-207 semantics):
+
+    - FORWARD (k=6): hash-min label along out-edges — fwd(v) = min id
+      reaching v within 6 hops (scc.hpp's fwd MIN gather);
+    - BACKWARD (k=6): confirmation from roots (fwd(v)==v) along
+      REVERSED edges restricted to equal fwd labels (the
+      "absorb iff update.root == prev_root" match-detect,
+      scc.hpp:157-167);
+    - scc_id = fwd label if confirmed else own id (unpeeled vertices
+      stay singletons — the state after the reference's first outer
+      round; full fixed-point peeling is pytest-oracled vs Tarjan in
+      tests/test_scc.py on the library implementation).
+    """
+    edges = directed_edges(spark, sf_dir).persist()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = verts.select("id", F.col("id").alias("lbl"))
+    for _ in range(SCC_FWD_ROUNDS):
+        agg = (
+            edges.join(state, edges["src"] == state["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("m"))
+        )
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", F.least("lbl", F.coalesce("m", F.col("lbl"))).alias("lbl")
+        )
+        state = materialize(state)
+
+    ls = state.select(F.col("id").alias("src"), F.col("lbl").alias("ls"))
+    ld = state.select(F.col("id").alias("dst"), F.col("lbl").alias("ld"))
+    rev_same = (
+        edges.join(ls, "src").join(ld, "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rev_same = materialize(rev_same)
+    conf = state.select("id", "lbl", (F.col("id") == F.col("lbl")).alias("conf"))
+    for _ in range(SCC_BWD_ROUNDS):
+        reach = (
+            rev_same.join(conf.where("conf"), rev_same["src"] == F.col("id"))
+            .select(rev_same["dst"].alias("rid"))
+            .distinct()
+        )
+        conf = conf.join(reach, conf["id"] == F.col("rid"), "left").select(
+            "id", "lbl", (F.col("conf") | F.col("rid").isNotNull()).alias("conf")
+        )
+        conf = materialize(conf)
+    edges.unpersist()
+    return conf.select(
+        "id", F.when(F.col("conf"), F.col("lbl")).otherwise(F.col("id")).alias("scc_id")
+    )
+
+
+def _sql_scc(kf: int, kb: int) -> str:
+    ctes = [
+        DEDGES_CTE,
+        "dverts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges)",
+        "f0 AS MATERIALIZED (SELECT id, id AS lbl FROM dverts)",
+    ]
+    for i in range(1, kf + 1):
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT v.id, least(v.lbl, coalesce(m.m, v.lbl)) AS lbl "
+            f"FROM f{i-1} v LEFT JOIN (SELECT e.dst, min(f.lbl) AS m "
+            f"FROM dedges e JOIN f{i-1} f ON e.src = f.id GROUP BY e.dst) m ON v.id = m.dst)"
+        )
+    ctes.append(
+        f"revsame AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst FROM dedges e "
+        f"JOIN f{kf} a ON e.src = a.id JOIN f{kf} b ON e.dst = b.id WHERE a.lbl = b.lbl)"
+    )
+    ctes.append(f"c0 AS MATERIALIZED (SELECT id, lbl, (id = lbl) AS conf FROM f{kf})")
+    for i in range(1, kb + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT v.id, v.lbl, (v.conf OR m.rid IS NOT NULL) AS conf "
+            f"FROM c{i-1} v LEFT JOIN (SELECT DISTINCT r.dst AS rid FROM revsame r "
+            f"JOIN c{i-1} c ON r.src = c.id WHERE c.conf) m ON v.id = m.rid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CASE WHEN conf THEN lbl ELSE id END AS scc_id FROM c{kb}"
+    )
+
+
+def q_adjlist_roundtrip(spark, sf_dir):
+    """SNAP adjacency-list source parity (S2, convert/process_adjlist.cpp:
+    32-271): render the co-occurrence graph in ``src n d1 .. dn`` text
+    form (distributed write), parse it back with sources.read_adjlist,
+    and return the edge table — which must equal the direct derivation.
+    The text round-trip exercises comment filtering, per-row degree
+    slicing, and the deterministic weight assignment."""
+    import tempfile
+
+    from fog_spark.sources.edgelist import read_adjlist
+
+    edges = cooccur_edges(spark, sf_dir)
+    lines = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("ds"))
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("src").cast("string"),
+                F.size("ds").cast("string"),
+                F.concat_ws(" ", F.col("ds").cast("array<string>")),
+            ).alias("value")
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="fogspark_adjlist_")
+    header = spark.createDataFrame([("# fog_spark adjlist roundtrip",)], ["value"])
+    header.unionByName(lines).coalesce(8).write.mode("overwrite").text(out_dir)
+    return read_adjlist(spark, out_dir)
+
+
+SQL_ADJLIST_ROUNDTRIP = SQL_COOCCUR_EDGES
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multimodal table derived from documents: opaque binary
+    payload + typed metadata struct (datapipe/multimodal.MEDIA_SCHEMA).
+    kind cycles image/audio/video by doc_id; metadata is a pure function
+    of doc_id so an external oracle can reproduce it."""
+    d = load(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        (F.col("doc_id") % 48 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 32 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("doc_id") % 97).cast("int").alias("n_frames"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (multimodal op): one row per sampled
+    frame index — the Spark-side plumbing around the (stubbed) decode."""
+    from fog_spark.datapipe.multimodal import frame_sample
+
+    return frame_sample(media_table(spark, sf_dir), every_n=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH vids AS (SELECT doc_id AS media_id, (doc_id % 97)::INT AS nf
+              FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, unnest(generate_series(0, nf - 1, 10))::BIGINT AS frame_idx
+FROM vids WHERE nf > 0
+"""
+
+
+def q_image_features(spark, sf_dir):
+    """Image decode -> luma feature (multimodal op). The decode is the
+    documented deterministic stub (datapipe/multimodal.FakeDecoder — no
+    media libs in-container), so this query has NO SQL oracle: the
+    driver's rows-only check covers the mapInPandas plumbing (schema,
+    Arrow batching, partition shape)."""
+    from fog_spark.datapipe.multimodal import image_features
+
+    feats = image_features(media_table(spark, sf_dir), resize_to=8)
+    return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma_r"))
+
+
+QUERIES.update(
+    {
+        "scc_fwbw_k6": q_scc_fwbw_k6,
+        "adjlist_roundtrip": q_adjlist_roundtrip,
+        "frame_sample": q_frame_sample,
+        "image_features": q_image_features,
+    }
+)
+
+ORACLES.update(
+    {
+        "scc_fwbw_k6": _sql_scc(SCC_FWD_ROUNDS, SCC_BWD_ROUNDS),
+        "adjlist_roundtrip": SQL_ADJLIST_ROUNDTRIP,
+        "frame_sample": SQL_FRAME_SAMPLE,
+        # image_features: intentionally no oracle (stubbed decode) —
+        # the driver records the weaker rows-only check for it.
     }
 )

@@ -50,8 +50,11 @@ def read_adjlist(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.trim("value") != "")
         .select(
             parts.getItem(0).cast("long").alias("src"),
-            # element 1 is the degree count; destinations start at 2
-            F.explode(F.slice(parts, 3, 1_000_000)).alias("d"),
+            # element 1 is the degree count; destinations start at 2.
+            # Slice length is computed from the row (size - 2), so a
+            # vertex of ANY out-degree parses completely (a fixed literal
+            # would silently truncate ultra-hubs).
+            F.explode(F.slice(parts, 3, F.greatest(F.size(parts) - 2, F.lit(0)))).alias("d"),
         )
         .select("src", F.col("d").cast("long").alias("dst"))
         .filter(F.col("dst").isNotNull())

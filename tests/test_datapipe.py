@@ -73,6 +73,30 @@ def test_simhash_near_dups(spark, docs):
     assert pairs.get((0, 1)) == 0
 
 
+def test_simhash_segment_blocking_catches_prefix_flips(spark):
+    """Regression: single-prefix blocking missed pairs whose differing
+    bits landed in the prefix. Segment blocking (pigeonhole over 4
+    disjoint 16-bit segments) must catch any pair with hamming <= 3,
+    INCLUDING one differing only in the top 16 bits."""
+    from fog_spark.datapipe.dedup import simhash_pairs_from_sigs
+
+    def i64(x: int) -> int:  # wrap to signed 64-bit (bit 63 = Java long sign bit)
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = 0x0123456789ABCDEF
+    top_flip = base ^ (0b111 << 61)  # 3 flips, all inside the top segment
+    low_flip = base ^ 0b11  # 2 flips in the bottom segment
+    far = base ^ ((1 << 60) | (1 << 40) | (1 << 20) | 1)  # 4 flips, one per segment
+    sig = spark.createDataFrame(
+        [(0, i64(base)), (1, i64(top_flip)), (2, i64(low_flip)), (3, i64(far))],
+        "id LONG, simhash LONG",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs_from_sigs(sig).collect()}
+    assert pairs[(0, 1)] == 3  # the pair a prefix block would have missed
+    assert pairs[(0, 2)] == 2
+    assert (0, 3) not in pairs  # hamming 4 > max_hamming AND no shared segment
+
+
 def _make_embeddings(spark, n=60, dim=16, seed=7):
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((4, dim)) * 3
@@ -107,6 +131,19 @@ def test_lsh_ann_recall(spark):
     }
     hits = sum(1 for q, nn in exact.items() if approx.get(q) == nn)
     assert hits / len(exact) >= 0.9  # clustered data: high recall expected
+
+
+def test_lsh_ann_degenerate_bucket_is_capped(spark):
+    """Regression: an input where every vector lands in the same bucket
+    (identical embeddings) must not produce a quadratic self-join — the
+    max_bucket cap drops the degenerate bucket and the query completes
+    with zero candidates."""
+    pdf = pd.DataFrame(
+        {"vec_id": range(200), "embedding": [[1.0, 2.0, 3.0, 4.0]] * 200}
+    )
+    embs = spark.createDataFrame(pdf)
+    out = lsh_ann_topk(embs, k=1, n_planes=8, n_tables=2, max_bucket=50)
+    assert out.count() == 0
 
 
 def test_text_ops(spark, docs):

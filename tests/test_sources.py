@@ -21,6 +21,18 @@ def test_read_adjlist(spark, tmp_path):
     assert rows == {(0, 1), (0, 2), (1, 2)}
 
 
+def test_read_adjlist_ultra_hub_not_truncated(spark, tmp_path):
+    """Regression: the neighbor slice used a 1M literal length, silently
+    dropping out-edges of any vertex with more than 1M neighbors. The
+    length now comes from the row itself."""
+    n = 1_000_001
+    p = tmp_path / "hub.adj"
+    p.write_text(f"7 {n} " + " ".join(str(i) for i in range(n)) + "\n9 0\n")
+    df = read_adjlist(spark, str(p))
+    assert df.count() == n
+    assert df.agg({"dst": "max"}).collect()[0][0] == n - 1
+
+
 def test_graph_meta(spark, tmp_path):
     p = tmp_path / "g.txt"
     p.write_text("0\t1\n0\t2\n5\t0\n")
