@@ -7,11 +7,16 @@ state must be maintainable incrementally instead of recomputed.
 
 - ``stream_edges``: file-source stream of edge parquet drops
   (micro-batch = one commit batch of newly derived edges).
-- ``incremental_degrees``: foreachBatch merge of per-batch degree deltas
-  into a durable degree table — the streaming analogue of the engine's
-  cached degree side-input. foreachBatch + merge keeps state growth
-  O(vertices touched), unlike complete-mode aggregation which rewrites
-  the world every trigger.
+- ``incremental_degrees``: foreachBatch publishes each micro-batch's
+  degree DELTA as its own immutable partition (``batch=<id>/``) via
+  atomic rename — O(delta) work per trigger, never a rewrite of the
+  accumulated table, and replay-idempotent because a batch directory
+  that already exists is skipped. ``read_degrees`` folds base + deltas;
+  ``compact_degrees`` periodically rolls deltas into a new base
+  (readers never depend on deletion, so compaction is crash-safe).
+  This is the parquet-dir stand-in for an Iceberg MERGE INTO /
+  snapshot-append table; all path ops go through the Hadoop FS API
+  (engine/fs), not local-POSIX ``os`` calls.
 - ``stream_event_sessions``: watermarked session_window aggregation over
   the events stream (late data handled by the watermark).
 - ``stream_running_user_stats``: applyInPandasWithState custom stateful
@@ -21,12 +26,13 @@ state must be maintainable incrementally instead of recomputed.
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fog_spark.engine import fs
 
 EDGE_SCHEMA = T.StructType(
     [
@@ -41,56 +47,98 @@ def stream_edges(spark: SparkSession, input_dir: str) -> DataFrame:
     return spark.readStream.schema(EDGE_SCHEMA).parquet(input_dir)
 
 
+def _part_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs.list_names(spark, path)
+        if n.startswith(prefix + "=")
+    )
+
+
 def incremental_degrees(
     edges_stream: DataFrame, degrees_path: str, checkpoint_dir: str, available_now: bool = True
 ):
     """Maintain (id, outdeg) durably under a stream of new edges.
 
-    Each micro-batch computes its degree DELTA and merges it into the
-    parquet-backed table (read + full-outer + overwrite; the Iceberg
-    deployment swaps this for a MERGE INTO on a partitioned table).
+    Each micro-batch writes ONLY its own degree delta, published as an
+    immutable ``batch=<id>/`` partition by atomic rename:
+
+    - per-trigger cost is O(batch), never O(accumulated table);
+    - replays (foreachBatch is at-least-once) are skipped because the
+      target partition already exists — no marker files, no swap window
+      in which a crash can lose accumulated state;
+    - readers (``read_degrees``) aggregate base + deltas and are never
+      exposed to a half-written partition (the temp dir is invisible
+      until the rename).
     """
     spark = edges_stream.sparkSession
 
-    def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        # idempotence: foreachBatch is at-least-once; a marker file inside
-        # the table dir (underscore-prefixed: ignored by parquet readers)
-        # travels atomically with the os.replace, so a replayed batch
-        # after a crash is skipped instead of double-counted.
-        marker = os.path.join(degrees_path, "_applied_batch")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return
-        delta = batch.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
-        if os.path.exists(degrees_path):
-            cur = spark.read.parquet(degrees_path)
-            merged = (
-                cur.select(F.col("id").alias("cid"), "outdeg")
-                .join(delta, F.col("cid") == delta["id"], "full_outer")
-                .select(
-                    F.coalesce("cid", "id").alias("id"),
-                    (F.coalesce("outdeg", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("outdeg"),
-                )
-            )
-        else:
-            merged = delta.select("id", F.col("d").alias("outdeg"))
-        tmp = degrees_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_applied_batch"), "w") as f:
-            f.write(str(batch_id))
-        import shutil
+    def publish_batch(batch: DataFrame, batch_id: int) -> None:
+        bdir = f"{degrees_path}/batch={batch_id}"
+        if fs.exists(spark, bdir):  # at-least-once replay: already applied
+            return
+        bases = _part_ids(spark, degrees_path, "base")
+        if bases and batch_id <= bases[-1]:
+            # replayed batch already folded into the base by compaction
+            # (the base name records the max applied batch id)
+            return
+        delta = batch.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("outdeg")
+        )
+        tmp = f"{degrees_path}/.tmp-batch-{batch_id}"
+        fs.delete(spark, tmp)
+        delta.write.mode("overwrite").parquet(tmp)
+        if not fs.rename(spark, tmp, bdir):
+            raise IOError(f"degree delta publish failed: {tmp} -> {bdir}")
 
-        if os.path.exists(degrees_path):
-            shutil.rmtree(degrees_path)
-        os.replace(tmp, degrees_path)
-
-    writer = edges_stream.writeStream.foreachBatch(merge_batch).option(
+    writer = edges_stream.writeStream.foreachBatch(publish_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
+    """(id, outdeg): current degree table = newest base + later deltas."""
+    bases = _part_ids(spark, degrees_path, "base")
+    k = bases[-1] if bases else -1
+    parts = ([f"{degrees_path}/base={k}"] if k >= 0 else []) + [
+        f"{degrees_path}/batch={b}" for b in _part_ids(spark, degrees_path, "batch") if b > k
+    ]
+    if not parts:
+        return spark.createDataFrame([], "id LONG, outdeg LONG")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("id")
+        .agg(F.sum("outdeg").cast("long").alias("outdeg"))
+    )
+
+
+def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
+    """Roll all published deltas into a new base partition.
+
+    Crash-safe ordering: the new ``base=<K>`` is published (atomic
+    rename) BEFORE any delta is deleted, and ``read_degrees`` ignores
+    deltas ≤ the newest base — so every intermediate state reads
+    correctly. Run periodically so the read-side union stays short.
+    """
+    batches = _part_ids(spark, degrees_path, "batch")
+    if not batches:
+        return
+    k = batches[-1]
+    base_dir = f"{degrees_path}/base={k}"
+    if not fs.exists(spark, base_dir):  # re-run after a crash mid-vacuum skips the publish
+        agg = read_degrees(spark, degrees_path)
+        tmp = f"{degrees_path}/.tmp-base-{k}"
+        fs.delete(spark, tmp)
+        agg.write.mode("overwrite").parquet(tmp)
+        if not fs.rename(spark, tmp, base_dir):
+            raise IOError(f"degree base publish failed: {tmp}")
+    for b in _part_ids(spark, degrees_path, "base")[:-1]:
+        fs.delete(spark, f"{degrees_path}/base={b}")
+    for b in batches:
+        fs.delete(spark, f"{degrees_path}/batch={b}")
 
 
 def stream_event_sessions(

@@ -130,6 +130,48 @@ def test_pagerank_standard_resume(spark, tmp_path):
     assert {r["id"]: r["rank"] for r in again_df.collect()} == clean
 
 
+def test_runcontext_on_scheme_qualified_path(spark, tmp_path):
+    """All checkpoint IO goes through the Hadoop FileSystem API, so a
+    scheme-qualified URI (file:/...; hdfs://, s3a:// in production)
+    works identically to a bare local path — no Python os/shutil calls
+    anywhere in the commit path."""
+    uri = "file:" + str(tmp_path / "fsrun")
+    g = GRAPHS["g_two_comp"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx = RunContext(spark, uri, "fs1")
+    got = {r["id"]: r["component"] for r in connected_components(edges, vertices, ctx=ctx).collect()}
+    plain = {r["id"]: r["component"] for r in connected_components(edges, vertices).collect()}
+    assert got == plain
+    assert ctx.resume_point() is not None
+    assert ctx.last_committed()["superstep"] >= 1
+
+
+def test_resume_survives_damaged_metric_and_missing_state(spark, tmp_path):
+    """A truncated metric record or a lost state snapshot must degrade to
+    the previous complete commit, never raise (ADVICE: crash mid-append
+    used to brick resume with JSONDecodeError)."""
+    import shutil
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx = RunContext(spark, str(tmp_path), "dmg")
+    pagerank_fog(edges, vertices, niters=3, ctx=ctx)
+    assert ctx.resume_point()[0] == 3
+
+    # damage 1: a truncated/garbage metric file for a later step
+    (tmp_path / "dmg" / "metrics" / "step=00009.json").write_text('{"superstep": 9, "act')
+    ctx2 = RunContext(spark, str(tmp_path), "dmg")
+    assert ctx2.resume_point()[0] == 3  # garbage skipped, not fatal
+
+    # damage 2: the newest state snapshot is gone -> walk back one step
+    shutil.rmtree(tmp_path / "dmg" / "state" / "step=00003")
+    ctx3 = RunContext(spark, str(tmp_path), "dmg")
+    step, state = ctx3.resume_point()
+    assert step == 2 and state.count() == g.n
+
+
 def test_bfs_sssp_lpa_resume(spark, tmp_path):
     from fog_spark.algorithms import bfs_levels, label_propagation, sssp
 

@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from fog_spark.streaming import (
+    compact_degrees,
     incremental_degrees,
+    read_degrees,
     stream_edges,
     stream_event_sessions,
     stream_running_user_stats,
@@ -27,15 +29,29 @@ def test_incremental_degrees_matches_batch(spark, tmp_path):
     _write_edge_batch(spark, inp, [(0, 1), (0, 2), (1, 2)])
     q = incremental_degrees(stream_edges(spark, inp), deg_path, ckpt)
     q.awaitTermination()
-    got1 = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    got1 = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
     assert got1 == {0: 2, 1: 1}
 
-    # second drop arrives; stream resumes from checkpoint, merges delta
+    # second drop arrives; stream resumes from checkpoint, publishes a delta
     _write_edge_batch(spark, inp, [(0, 3), (2, 0), (2, 1)])
     q = incremental_degrees(stream_edges(spark, inp), deg_path, ckpt)
     q.awaitTermination()
-    got2 = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    got2 = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
     assert got2 == {0: 3, 1: 1, 2: 2}
+
+    # compaction folds deltas into a base; totals unchanged, reads stay correct
+    compact_degrees(spark, deg_path)
+    got3 = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
+    assert got3 == got2
+    # compaction is idempotent (crash-rerun safe)
+    compact_degrees(spark, deg_path)
+    assert {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()} == got2
+
+    # a post-compaction delta lands on top of the base
+    _write_edge_batch(spark, inp, [(9, 0)])
+    incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
+    got4 = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
+    assert got4 == {0: 3, 1: 1, 2: 2, 9: 1}
 
 
 def test_stream_event_sessions(spark, tmp_path):
@@ -89,7 +105,7 @@ def test_stream_running_user_stats(spark, tmp_path):
 
 def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     """Regression: foreachBatch is at-least-once; a replayed batch must
-    not double-count (marker travels atomically with the table swap)."""
+    not double-count (the batch partition already exists → skipped)."""
     import shutil
 
     inp = str(tmp_path / "edges_in2")
@@ -97,10 +113,10 @@ def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt2")
     _write_edge_batch(spark, inp, [(7, 8), (7, 9)])
     incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
-    before = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    before = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
     # simulate a crash that lost the stream commit but kept the table:
     # wipe the checkpoint so the same files replay as batch 0 again
     shutil.rmtree(ckpt)
     incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
-    after = {r["id"]: r["outdeg"] for r in spark.read.parquet(deg_path).collect()}
+    after = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
     assert after == before == {7: 2}
