@@ -1,0 +1,139 @@
+"""Command-line entry point — the ``fog`` binary's shape, Spark-first.
+
+FOG runs as two programs: ``convert`` (text graph -> binary CSR) and
+``fog`` with ``-g graph -a application -m memory -p processors``
+(reference: fogsrc/main.cpp:137-251, headers/options_utils.h:22-70).
+Here one CLI covers both: point it at an edgelist/adjlist text file, a
+parquet edge table, or a source-repository table (the convert step is
+the scan/derivation itself), pick an algorithm, and optionally a
+checkpoint run-dir for mid-run resume.
+
+Examples::
+
+    python -m fog_spark.cli --graph g.txt --format edgelist \
+        --app pagerank --niters 10 --out /tmp/ranks
+    python -m fog_spark.cli --graph repos.parquet --format repos \
+        --app cc --out /tmp/comps --run-dir /tmp/ckpt
+    spark-submit --py-files fog_spark.zip fog_spark/cli.py ...  # cluster
+
+(``-p processors`` maps to --cpus; FOG's ``-m memory`` has no analogue —
+Spark executors size their own memory.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _load_edges(spark: SparkSession, path: str, fmt: str) -> tuple[DataFrame, DataFrame | None]:
+    """Returns (edges, vertices|None) for the given input format."""
+    if fmt == "edgelist":
+        from fog_spark.sources.edgelist import read_edgelist
+
+        return read_edgelist(spark, path), None
+    if fmt == "adjlist":
+        from fog_spark.sources.edgelist import read_adjlist
+
+        return read_adjlist(spark, path), None
+    if fmt == "parquet":
+        return spark.read.parquet(path), None
+    if fmt == "repos":
+        from fog_spark.graph.derive import derive_graph
+
+        g = derive_graph(spark.read.parquet(path))
+        return g.edges, g.vertices
+    raise ValueError(f"unknown --format {fmt}")
+
+
+def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFrame:
+    if args.app == "pagerank":
+        from fog_spark.algorithms.pagerank import pagerank_fog, pagerank_standard
+
+        if args.mode == "fog":
+            return pagerank_fog(edges, vertices, niters=args.niters, ctx=ctx)
+        ranks, iters = pagerank_standard(
+            edges, vertices, tol=args.tol, max_iters=args.max_iters, ctx=ctx
+        )
+        print(f"pagerank converged after {iters} iterations", file=sys.stderr)
+        return ranks
+    if args.app == "cc":
+        from fog_spark.algorithms.cc import connected_components
+
+        return connected_components(edges, vertices, max_iters=args.max_iters, ctx=ctx)
+    if args.app == "scc":
+        from fog_spark.algorithms.scc import strongly_connected_components
+
+        return strongly_connected_components(edges, vertices)
+    if args.app == "bfs":
+        from fog_spark.algorithms.bfs import bfs_levels
+
+        return bfs_levels(edges, root=args.root, vertices=vertices, max_iters=args.max_iters, ctx=ctx)
+    if args.app == "sssp":
+        from fog_spark.algorithms.sssp import sssp
+
+        return sssp(edges, source=args.root, vertices=vertices, max_iters=args.max_iters, ctx=ctx)
+    if args.app == "lpa":
+        from fog_spark.algorithms.lpa import label_propagation
+
+        return label_propagation(edges, vertices, max_iters=args.niters, ctx=ctx)
+    if args.app == "triangles":
+        from fog_spark.algorithms.triangles import triangle_counts
+
+        return triangle_counts(edges, vertices)
+    if args.app == "spmv":
+        from fog_spark.algorithms.spmv import spmv
+
+        return spmv(edges, vertices=vertices)
+    raise ValueError(f"unknown --app {args.app}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fog_spark", description=__doc__)
+    p.add_argument("--graph", "-g", required=True, help="input path (text graph / parquet)")
+    p.add_argument(
+        "--format", choices=["edgelist", "adjlist", "parquet", "repos"], default="edgelist"
+    )
+    p.add_argument(
+        "--app", "-a", required=True,
+        choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv"],
+    )
+    p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
+    p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
+    p.add_argument("--max-iters", type=int, default=10_000)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--root", "-r", type=int, default=0, help="bfs/sssp root (options_utils.h:45-46)")
+    p.add_argument("--out", "-o", default=None, help="output parquet dir (default: print top 100)")
+    p.add_argument("--run-dir", default=None, help="checkpoint dir: enables mid-run resume")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--cpus", "-p", type=int, default=None, help="local parallelism (FOG's -p)")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from fog_spark.session import get_spark
+
+        spark = get_spark("fog_spark-cli", cpus=args.cpus)
+    ctx = None
+    if args.run_dir:
+        from fog_spark.engine.checkpoint import RunContext
+
+        ctx = RunContext(spark, args.run_dir, args.run_id)
+    edges, vertices = _load_edges(spark, args.graph, args.format)
+    out = _run_app(args, edges, vertices, ctx)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    else:
+        # FOG's finalize print: first 100 vertices (pagerank.hpp:121-128)
+        first_col = out.columns[0]
+        out.orderBy(first_col).show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1077,12 +1077,36 @@ def q_image_features(spark, sf_dir):
     return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma_r"))
 
 
+def q_pagerank_resume_k3(spark, sf_dir):
+    """Checkpoint/resume made driver-visible (S7/S11 + north_rule
+    "resumable from checkpoint"): run 2 FOG-mode supersteps under a
+    RunContext, 'crash', then a FRESH context resumes from the committed
+    step-2 parquet snapshot and runs step 3. The result must match the
+    same 3-round recurrence computed without any checkpointing — the
+    oracle is identical to pagerank_fog_k3's."""
+    import tempfile
+
+    from fog_spark.algorithms.pagerank import pagerank_fog
+    from fog_spark.engine.checkpoint import RunContext
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    run_dir = tempfile.mkdtemp(prefix="fogspark_resume_")
+    ctx1 = RunContext(spark, run_dir, "pr", collect_lineage=False)
+    pagerank_fog(edges, niters=2, ctx=ctx1)  # "crash" after superstep 2
+    ctx2 = RunContext(spark, run_dir, "pr", collect_lineage=False)
+    assert ctx2.resume_point() is not None  # resumes, does NOT restart
+    ranks = pagerank_fog(edges, niters=PR_ROUNDS, ctx=ctx2)
+    edges.unpersist()
+    return ranks.select("id", F.round("rank", 5).alias("rank_r"))
+
+
 QUERIES.update(
     {
         "scc_fwbw_k6": q_scc_fwbw_k6,
         "adjlist_roundtrip": q_adjlist_roundtrip,
         "frame_sample": q_frame_sample,
         "image_features": q_image_features,
+        "pagerank_resume_k3": q_pagerank_resume_k3,
     }
 )
 
@@ -1091,6 +1115,7 @@ ORACLES.update(
         "scc_fwbw_k6": _sql_scc(SCC_FWD_ROUNDS, SCC_BWD_ROUNDS),
         "adjlist_roundtrip": SQL_ADJLIST_ROUNDTRIP,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "pagerank_resume_k3": _sql_pagerank(PR_ROUNDS),
         # image_features: intentionally no oracle (stubbed decode) —
         # the driver records the weaker rows-only check for it.
     }
