@@ -1,15 +1,25 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
 
 - ``brute_force_topk``: exact cosine top-k via a join + window. The
   dot product stays JVM-side (zip_with + aggregate fold). Quadratic —
   the correctness baseline and the small-side path.
 - ``lsh_ann_topk``: random-hyperplane LSH buckets; each query only
-  scores candidates sharing a bucket — the 100 TB path. Hyperplanes are
-  deterministic (seeded NumPy), broadcast as literal arrays, and the
-  projection is computed by a vectorized pandas UDF over Arrow batches
-  (NumPy matmul per batch, no per-row Python).
+  scores candidates sharing a bucket — a 100 TB path. Hyperplanes are
+  deterministic (seeded NumPy, regenerated executor-side per batch) and
+  the projection is a vectorized pandas UDF over Arrow batches (NumPy
+  matmul per batch, no per-row Python).
+- ``ivf_topk``: inverted-file ANN — k-means-style coarse centroids
+  (deterministic seeded init + a few Lloyd rounds, all DataFrame ops),
+  each vector indexed under its nearest centroid, each query probed
+  against its ``nprobe`` nearest centroid lists. The centroid table is
+  tiny and broadcast; list scans are bucket-local joins. The other
+  100 TB path, better recall/cost when the corpus clusters.
+
+``embedding_near_dups`` is the dedup-flavored wrapper: pairs above a
+cosine threshold, from either the exact product (small data) or
+LSH-shortlisted candidates (scale).
 """
 
 from __future__ import annotations
@@ -126,3 +136,150 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _l2n(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _nearest_centroid_udf(centroids: np.ndarray):
+    cn = _l2n(centroids)
+
+    @pandas_udf(T.IntegerType())
+    def assign(embcol: pd.Series) -> pd.Series:
+        mat = _l2n(np.vstack(embcol.to_numpy()))
+        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def train_ivf_centroids(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: hash-seeded init + Lloyd rounds.
+
+    The centroid table is the ONLY driver-side object (n_centroids ×
+    dim floats — an IVF coarse quantizer is driver-scale by design).
+    Per round, each partition reduces its vectors to per-centroid
+    partial (sum, count) inside one Arrow batch pass (mapInPandas), so
+    the driver combines |partitions| × n_centroids tiny rows — no
+    O(n·dim) explode, no per-row Python.
+    """
+    base = embs.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    init = (
+        base.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select("emb")
+        .collect()
+    )
+    centroids = np.vstack([np.asarray(r["emb"], dtype=np.float64) for r in init])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("psum", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(rounds):
+        cn = _l2n(centroids)
+
+        def partials(batches, cn=cn, k=len(centroids)):
+            sums, counts = None, None
+            for pdf in batches:
+                mat = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+                cid = np.argmax(_l2n(mat) @ cn.T, axis=1)
+                if sums is None:
+                    sums = np.zeros((k, mat.shape[1]))
+                    counts = np.zeros(k, dtype=np.int64)
+                np.add.at(sums, cid, mat)
+                np.add.at(counts, cid, 1)
+            if sums is not None:
+                yield pd.DataFrame(
+                    {"cid": range(k), "psum": list(sums), "n": counts}
+                )
+
+        rows = base.select("emb").mapInPandas(partials, schema=part_schema).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["psum"])
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz] / counts[nz, None]  # empty lists keep old centroid
+    return centroids
+
+
+def ivf_topk(
+    embs: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, nn_id, cos): approximate top-k via IVF.
+
+    Index side: every vector lands in exactly ONE centroid list (its
+    nearest), hash-partitioned by cid. Query side: each query probes
+    its ``nprobe`` nearest lists. The candidate join is bucket-local on
+    cid; recall grows with nprobe (nprobe == n_centroids is exact)."""
+    centroids = train_ivf_centroids(embs, n_centroids, rounds, id_col, emb_col)
+    cn = _l2n(centroids)
+    base = with_norm(embs, id_col, emb_col)
+    indexed = base.withColumn("cid", _nearest_centroid_udf(centroids)(F.col("emb")))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_ids(embcol: pd.Series) -> pd.Series:
+        mat = _l2n(np.vstack(embcol.to_numpy()))
+        order = np.argsort(-(mat @ cn.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probes = base.withColumn("cid", F.explode(probe_ids(F.col("emb"))))
+    a = probes.select("cid", F.col("id").alias("query_id"), F.col("emb").alias("qe"), F.col("nrm").alias("qn"))
+    b = indexed.select("cid", F.col("id").alias("nn_id"), F.col("emb").alias("be"), F.col("nrm").alias("bn"))
+    scored = (
+        a.join(b, "cid")
+        .where(F.col("query_id") != F.col("nn_id"))
+        .select(
+            "query_id", "nn_id", (_dot(F.col("qe"), F.col("be")) / (F.col("qn") * F.col("bn"))).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a_id, b_id, cos) with cosine >= threshold, a_id < b_id — the
+    embedding-flavored near-dup detector.
+
+    With ``candidates`` (e.g. LSH bucket pairs): verifies only those —
+    the scale path. Without: exact all-pairs, small data only."""
+    base = with_norm(embs, id_col, emb_col)
+    a = base.select(F.col("id").alias("a_id"), F.col("emb").alias("ae"), F.col("nrm").alias("an"))
+    b = base.select(F.col("id").alias("b_id"), F.col("emb").alias("be"), F.col("nrm").alias("bn"))
+    if candidates is not None:
+        pairs = candidates.select("a_id", "b_id").join(a, "a_id").join(b, "b_id")
+    else:
+        pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    return pairs.select(
+        "a_id", "b_id", (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("cos")
+    ).where(F.col("cos") >= threshold)

@@ -1100,6 +1100,110 @@ def q_pagerank_resume_k3(spark, sf_dir):
     return ranks.select("id", F.round("rank", 5).alias("rank_r"))
 
 
+def q_stream_degrees(spark, sf_dir):
+    """Structured-Streaming ingestion made driver-visible: feed the
+    co-occurrence edge table through the file-source stream +
+    foreachBatch delta publishes (streaming/ingest.incremental_degrees),
+    then fold the delta partitions — must equal the batch out_degrees."""
+    import tempfile
+
+    from fog_spark.streaming.ingest import incremental_degrees, read_degrees, stream_edges
+
+    work = tempfile.mkdtemp(prefix="fogspark_stream_deg_")
+    inp = f"{work}/edges_in"
+    cooccur_edges(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    incremental_degrees(
+        stream_edges(spark, inp), f"{work}/degrees", f"{work}/ckpt"
+    ).awaitTermination()
+    return read_degrees(spark, f"{work}/degrees").select(
+        "id", F.col("outdeg").cast("long").alias("outdeg")
+    )
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Watermarked session_window aggregation (streaming op) on the
+    events table, run availableNow to completion. Session semantics:
+    a gap >= 30min starts a new session (Spark merges windows that
+    OVERLAP, i.e. next_ts - prev_ts < gap extends the session)."""
+    import tempfile
+    import uuid
+
+    from fog_spark.streaming.ingest import stream_event_sessions
+
+    # file-source streams read directories: stage the events table into
+    # one (a distributed Spark write, not a driver-side copy)
+    inp = tempfile.mkdtemp(prefix="fogspark_stream_ev_") + "/in"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(inp)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_event_sessions(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("start").alias("session_start_e"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value_r"),
+    )
+
+
+SQL_STREAM_SESSIONS = """
+WITH x AS (
+  -- gap test on EXACT (sub-second) epochs: Spark merges session windows
+  -- on microsecond-precision timestamps; the output epoch is floored
+  -- to match Spark's truncating unix_timestamp (DuckDB ::BIGINT rounds)
+  SELECT user_id, floor(epoch(ts))::BIGINT AS e, epoch(ts) AS ex, value,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, e, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ex ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, min(e) AS session_start_e,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value_r
+FROM s GROUP BY user_id, sid
+"""
+
+
+EMB_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; 0.4 yields real pairs
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup family #5): exact
+    all-pairs at oracle scale; the scale path shortlists via LSH
+    (datapipe/similarity.embedding_near_dups(candidates=...))."""
+    from fog_spark.datapipe.similarity import embedding_near_dups
+
+    pairs = embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), threshold=EMB_NEARDUP_THRESHOLD
+    )
+    return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos_r"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cos_r
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
 QUERIES.update(
     {
         "scc_fwbw_k6": q_scc_fwbw_k6,
@@ -1107,6 +1211,9 @@ QUERIES.update(
         "frame_sample": q_frame_sample,
         "image_features": q_image_features,
         "pagerank_resume_k3": q_pagerank_resume_k3,
+        "stream_degrees": q_stream_degrees,
+        "stream_sessions": q_stream_sessions,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 )
 
@@ -1116,6 +1223,9 @@ ORACLES.update(
         "adjlist_roundtrip": SQL_ADJLIST_ROUNDTRIP,
         "frame_sample": SQL_FRAME_SAMPLE,
         "pagerank_resume_k3": _sql_pagerank(PR_ROUNDS),
+        "stream_degrees": SQL_OUT_DEGREES,
+        "stream_sessions": SQL_STREAM_SESSIONS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         # image_features: intentionally no oracle (stubbed decode) —
         # the driver records the weaker rows-only check for it.
     }

@@ -133,6 +133,49 @@ def test_lsh_ann_recall(spark):
     assert hits / len(exact) >= 0.9  # clustered data: high recall expected
 
 
+def test_ivf_topk_recall(spark):
+    from fog_spark.datapipe.similarity import ivf_topk
+
+    embs, vecs = _make_embeddings(spark)
+    exact = {r["query_id"]: r["nn_id"] for r in brute_force_topk(embs, k=1).collect()}
+    approx = {
+        r["query_id"]: r["nn_id"]
+        for r in ivf_topk(embs, k=1, n_centroids=8, nprobe=2, rounds=3).collect()
+    }
+    hits = sum(1 for q, nn in exact.items() if approx.get(q) == nn)
+    assert hits / len(exact) >= 0.9  # clustered data: centroids capture clusters
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """nprobe == n_centroids degenerates to the exact search."""
+    from fog_spark.datapipe.similarity import ivf_topk
+
+    embs, _ = _make_embeddings(spark, n=40)
+    exact = {(r["query_id"], r["rank"]): r["nn_id"] for r in brute_force_topk(embs, k=3).collect()}
+    full = {
+        (r["query_id"], r["rank"]): r["nn_id"]
+        for r in ivf_topk(embs, k=3, n_centroids=4, nprobe=4, rounds=2).collect()
+    }
+    assert full == exact
+
+
+def test_embedding_near_dups(spark):
+    from fog_spark.datapipe.similarity import embedding_near_dups
+
+    base = np.eye(8, dtype=np.float32)
+    rows = [
+        (0, base[0].tolist()),
+        (1, (base[0] + 0.01 * base[1]).tolist()),  # near-dup of 0
+        (2, base[2].tolist()),  # orthogonal
+    ]
+    embs = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    pairs = {(r["a_id"], r["b_id"]) for r in embedding_near_dups(embs, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+    # candidates path verifies only the shortlist
+    cands = spark.createDataFrame(pd.DataFrame({"a_id": [0], "b_id": [2]}))
+    assert embedding_near_dups(embs, threshold=0.95, candidates=cands).count() == 0
+
+
 def test_lsh_ann_degenerate_bucket_is_capped(spark):
     """Regression: an input where every vector lands in the same bucket
     (identical embeddings) must not produce a quadratic self-join — the

@@ -90,25 +90,38 @@ def main():
              "throttling), so 8/32 measures the hypervisor, not the engine; "
              "see BASELINE.md for the probe data.",
     )
+    ap.add_argument(
+        "--repeats", type=int, default=3,
+        help="interleaved repeats per level; min wall wins. This VM has "
+             "intermittent hypervisor steal/noise episodes that inflate a "
+             "single run 1.5-2x (see BASELINE.md round-2 notes): the min "
+             "over interleaved fresh-JVM runs measures the engine, and the "
+             "full run lists stay in the json for audit.",
+    )
     args = ap.parse_args()
 
     if args.run:
         print("RESULT " + json.dumps(run_one(args.run)))
         return
 
-    results = {}
-    for cpus in args.levels:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
-            capture_output=True, text=True, timeout=3000,
-            env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            print(out.stdout[-2000:], out.stderr[-2000:])
-            sys.exit(1)
-        results[cpus] = json.loads(line[0][7:])
-        print(json.dumps(results[cpus]))
+    results: dict[int, dict] = {}
+    all_walls: dict[int, list] = {c: [] for c in args.levels}
+    for rep in range(args.repeats):
+        for cpus in args.levels:  # interleave levels so noise hits both
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+                capture_output=True, text=True, timeout=3000,
+                env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(out.stdout[-2000:], out.stderr[-2000:])
+                sys.exit(1)
+            r = json.loads(line[0][7:])
+            all_walls[cpus].append(r["wall_s"])
+            if cpus not in results or r["wall_s"] < results[cpus]["wall_s"]:
+                results[cpus] = r
+            print(json.dumps(r))
 
     lo, hi = args.levels
     factor = hi / lo
@@ -116,6 +129,8 @@ def main():
     summary = {
         "workload": f"pagerank_fog x{NITERS} on {results[hi]['edges']} synthetic power-law edges",
         "levels": results,
+        "all_walls_s": all_walls,
+        "timing": "min over interleaved fresh-JVM repeats (host-noise defense, see BASELINE.md)",
         "scaling_factor": factor,
         "scaling_efficiency": round(eff, 3),
         "gate": 0.8,
