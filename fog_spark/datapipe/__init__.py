@@ -5,7 +5,12 @@ from fog_spark.datapipe.dedup import (  # noqa: F401
     simhash64,
     simhash_near_dups,
 )
-from fog_spark.datapipe.similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from fog_spark.datapipe.similarity import (  # noqa: F401
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_ann_topk,
+)
 from fog_spark.datapipe.text import (  # noqa: F401
     doc_fingerprints,
     language_id,
