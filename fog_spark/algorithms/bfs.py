@@ -44,7 +44,9 @@ def bfs_levels(
         hubs = top_degree_keys(fwd, "dst", hub_threshold)
         salted = bool(hubs.limit(1).count())
         if salted:
-            fwd = tag_hubs(fwd, hubs)
+            # persist the tagged frame: otherwise every superstep would
+            # re-run the degree aggregation inside the tag join
+            fwd = tag_hubs(fwd, hubs).persist()
 
     state = vertices.select(
         "id",
@@ -90,4 +92,6 @@ def bfs_levels(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
+    if salted:
+        fwd.unpersist()
     return state.select("id", "level")

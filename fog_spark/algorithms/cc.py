@@ -57,7 +57,9 @@ def connected_components(
         hubs = top_degree_keys(sym, "dst", hub_threshold)
         salted = bool(hubs.limit(1).count())
         if salted:
-            sym = tag_hubs(sym, hubs)
+            # persist: see bfs.py — the tag join must not re-aggregate
+            # degrees every superstep
+            sym = tag_hubs(sym, hubs).persist()
 
     # state carries a `changed` flag; the frontier is a projection of it.
     state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
@@ -101,4 +103,6 @@ def connected_components(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
+    if salted:
+        sym.unpersist()
     return state.select("id", F.col("comp").alias("component"))

@@ -51,13 +51,17 @@ DAMPING = 0.85  # application/pagerank.hpp:22
 
 
 def _hub_tagged(edges: DataFrame, hub_threshold: int | None) -> tuple[DataFrame, bool]:
-    """Tag hub in-degree keys once before the loop (skew mitigation)."""
+    """Tag hub in-degree keys once before the loop (skew mitigation).
+
+    The tagged frame is persisted (caller unpersists after its loop):
+    otherwise every superstep would re-run the degree aggregation
+    hiding inside the tag join's broadcast build."""
     if hub_threshold is None:
         return edges, False
     hubs = top_degree_keys(edges, "dst", hub_threshold)
     if not hubs.limit(1).count():
         return edges, False
-    return tag_hubs(edges, hubs), True
+    return tag_hubs(edges, hubs).persist(), True
 
 
 def _degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -141,6 +145,8 @@ def pagerank_fog(
 
     if kernel == "csr":
         packed.unpersist()
+    if salted:
+        edges.unpersist()
     return state.select("id", "rank")
 
 
@@ -169,18 +175,21 @@ def pagerank_standard(
     state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
     n = state.count()
     state = state.withColumn("rank", F.lit(1.0 / n))
-    edges, salted = _hub_tagged(edges, hub_threshold)
 
     start_it = 0
     if ctx is not None:
         rp = ctx.resume_point()
         if rp is not None:
             start_it, state = rp
-            last = ctx.last_committed() or {}
-            if last.get("delta") is not None and last["delta"] < tol:
+            # convergence must be judged by the metric record OF the
+            # resumed step: last_committed() may describe a NEWER step
+            # whose snapshot was lost (resume_point walked past it)
+            rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})
+            if rec.get("delta") is not None and rec["delta"] < tol:
                 return state.select("id", "rank"), start_it
     if start_it == 0:
         state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
+    edges, salted = _hub_tagged(edges, hub_threshold)
 
     # scalar pass: dangling mass of the current rank vector
     dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -220,4 +229,6 @@ def pagerank_standard(
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:
             break
+    if salted:
+        edges.unpersist()
     return state.select("id", "rank"), it

@@ -50,7 +50,9 @@ def sssp(
         hubs = top_degree_keys(fwd, "dst", hub_threshold)
         salted = bool(hubs.limit(1).count())
         if salted:
-            fwd = tag_hubs(fwd, hubs)
+            # persist: see bfs.py — the tag join must not re-aggregate
+            # degrees every superstep
+            fwd = tag_hubs(fwd, hubs).persist()
 
     state = vertices.select(
         "id",
@@ -104,4 +106,6 @@ def sssp(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
+    if salted:
+        fwd.unpersist()
     return state.select("id", "dist", "pred")

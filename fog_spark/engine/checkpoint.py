@@ -105,7 +105,10 @@ class RunContext:
         tmp = f"{self._metrics_dir()}/.tmp-{step:05d}.json"
         fs.write_text(self.spark, tmp, json.dumps(rec))
         fs.delete(self.spark, path)
-        fs.rename(self.spark, tmp, path)
+        if not fs.rename(self.spark, tmp, path):
+            # a silently dropped metric would make the committed state
+            # invisible to resume — fail loudly like write_state does
+            raise IOError(f"metric commit rename failed: {tmp} -> {path}")
 
     def metrics(self) -> list[dict]:
         names = sorted(
@@ -129,9 +132,17 @@ class RunContext:
     def resume_point(self, name: str = "state") -> tuple[int, DataFrame] | None:
         """(last committed superstep with a present snapshot, its state),
         or None if fresh. Walks backwards past any commit whose state
-        directory is missing/incomplete."""
+        directory is missing.
+
+        Presence test = the directory exists: write_state publishes
+        snapshots only by atomic rename of a fully-written temp dir, so
+        an existing dir is complete by construction. (Deliberately NOT
+        keyed on _SUCCESS: clusters with
+        mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
+        on object stores — write no marker, and requiring one would
+        silently disable resume there.)"""
         for rec in reversed(self.metrics()):
             step = rec["superstep"]
-            if fs.exists(self.spark, self._state_dir(step, name) + "/_SUCCESS"):
+            if fs.exists(self.spark, self._state_dir(step, name)):
                 return step, self.read_state(step, name=name)
         return None

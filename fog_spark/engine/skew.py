@@ -24,27 +24,17 @@ def salted_agg(
     key: str,
     aggs: list[tuple[str, str, str]],
     n_salts: int = 16,
-    salt_source: str | None = None,
 ) -> DataFrame:
-    """Two-stage groupBy(key) for skewed keys.
+    """Two-stage groupBy(key) salting EVERY row over ``n_salts``.
 
     aggs: list of (fn, col, alias) with fn in {sum, min, max, count}.
-    The salt derives from a hash of ``salt_source`` (default: a random
-    spread via monotonically varying partition data is avoided — we hash
-    the full row's shuffle-free column) so the stage-1 exchange spreads
-    one hot ``key`` over ``n_salts`` reducers.
+    Thin wrapper over ``skewed_gather`` with all rows flagged as hubs —
+    use when the whole keyspace is hot; the algorithms use the
+    conditional form (only hub-flagged rows salted).
     """
-    salt = F.pmod(F.hash(F.col(salt_source)) if salt_source else F.spark_partition_id(), F.lit(n_salts))
-    stage1_aggs: list[Column] = []
-    stage2_aggs: list[Column] = []
-    for fn, col, alias in aggs:
-        if fn == "count":
-            stage1_aggs.append(F.count(col).alias(alias))
-        else:
-            stage1_aggs.append(getattr(F, fn)(col).alias(alias))
-        stage2_aggs.append(_REAGG[fn](alias).alias(alias))
-    partial = msgs.withColumn("_salt", salt).groupBy(key, "_salt").agg(*stage1_aggs)
-    return partial.groupBy(key).agg(*stage2_aggs)
+    return skewed_gather(
+        msgs.withColumn(HUB_FLAG, F.lit(True)), key, aggs, n_salts=n_salts
+    )
 
 
 def top_degree_keys(edges: DataFrame, key: str = "dst", threshold: int = 1_000_000) -> DataFrame:

@@ -48,11 +48,22 @@ def stream_edges(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def _part_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
-    return sorted(
-        int(n.split("=", 1)[1])
-        for n in fs.list_names(spark, path)
-        if n.startswith(prefix + "=")
-    )
+    return _ids_from(fs.list_names(spark, path), prefix)
+
+
+def _ids_from(names: list[str], prefix: str) -> list[int]:
+    return sorted(int(n.split("=", 1)[1]) for n in names if n.startswith(prefix + "="))
+
+
+def _current_parts(names: list[str], degrees_path: str) -> list[str]:
+    """base + later deltas from ONE directory listing (a single snapshot:
+    deriving bases and batches from separate listings races against a
+    concurrently publishing stream)."""
+    bases = _ids_from(names, "base")
+    k = bases[-1] if bases else -1
+    return ([f"{degrees_path}/base={k}"] if k >= 0 else []) + [
+        f"{degrees_path}/batch={b}" for b in _ids_from(names, "batch") if b > k
+    ]
 
 
 def incremental_degrees(
@@ -99,13 +110,7 @@ def incremental_degrees(
     return writer.start()
 
 
-def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
-    """(id, outdeg): current degree table = newest base + later deltas."""
-    bases = _part_ids(spark, degrees_path, "base")
-    k = bases[-1] if bases else -1
-    parts = ([f"{degrees_path}/base={k}"] if k >= 0 else []) + [
-        f"{degrees_path}/batch={b}" for b in _part_ids(spark, degrees_path, "batch") if b > k
-    ]
+def _fold_parts(spark: SparkSession, parts: list[str]) -> DataFrame:
     if not parts:
         return spark.createDataFrame([], "id LONG, outdeg LONG")
     return (
@@ -115,28 +120,39 @@ def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
     )
 
 
-def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
-    """Roll all published deltas into a new base partition.
+def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
+    """(id, outdeg): current degree table = newest base + later deltas."""
+    return _fold_parts(spark, _current_parts(fs.list_names(spark, degrees_path), degrees_path))
 
-    Crash-safe ordering: the new ``base=<K>`` is published (atomic
-    rename) BEFORE any delta is deleted, and ``read_degrees`` ignores
-    deltas ≤ the newest base — so every intermediate state reads
-    correctly. Run periodically so the read-side union stays short.
+
+def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
+    """Roll published deltas into a new base partition.
+
+    Crash- and concurrency-safe: the folded part set AND the new base's
+    id come from ONE directory listing (a batch published after the
+    snapshot is neither folded nor vacuumed — it stays a live delta
+    above the new base's watermark); the new ``base=<K>`` lands by
+    atomic rename BEFORE any delta is deleted, and ``read_degrees``
+    ignores deltas ≤ the newest base — so every intermediate state
+    reads correctly. Run periodically so the read-side union stays
+    short.
     """
-    batches = _part_ids(spark, degrees_path, "batch")
+    names = fs.list_names(spark, degrees_path)
+    batches = _ids_from(names, "batch")
     if not batches:
         return
     k = batches[-1]
     base_dir = f"{degrees_path}/base={k}"
     if not fs.exists(spark, base_dir):  # re-run after a crash mid-vacuum skips the publish
-        agg = read_degrees(spark, degrees_path)
+        agg = _fold_parts(spark, _current_parts(names, degrees_path))
         tmp = f"{degrees_path}/.tmp-base-{k}"
         fs.delete(spark, tmp)
         agg.write.mode("overwrite").parquet(tmp)
         if not fs.rename(spark, tmp, base_dir):
             raise IOError(f"degree base publish failed: {tmp}")
-    for b in _part_ids(spark, degrees_path, "base")[:-1]:
-        fs.delete(spark, f"{degrees_path}/base={b}")
+    for b in _ids_from(names, "base"):
+        if b < k:
+            fs.delete(spark, f"{degrees_path}/base={b}")
     for b in batches:
         fs.delete(spark, f"{degrees_path}/batch={b}")
 

@@ -172,6 +172,21 @@ def test_resume_survives_damaged_metric_and_missing_state(spark, tmp_path):
     assert step == 2 and state.count() == g.n
 
 
+def test_resume_works_without_success_marker(spark, tmp_path):
+    """Clusters with marksuccessfuljobs=false write no _SUCCESS; resume
+    must key on the atomically-renamed directory, not the marker."""
+    g = GRAPHS["g_two_comp"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    ctx = RunContext(spark, str(tmp_path), "nosuccess")
+    pagerank_fog(edges, vertices, niters=2, ctx=ctx)
+    step = ctx.resume_point()[0]
+    for p in (tmp_path / "nosuccess" / "state" / f"step={step:05d}").glob("_SUCCESS"):
+        p.unlink()
+    rp = RunContext(spark, str(tmp_path), "nosuccess").resume_point()
+    assert rp is not None and rp[0] == step
+
+
 def test_bfs_sssp_lpa_resume(spark, tmp_path):
     from fog_spark.algorithms import bfs_levels, label_propagation, sssp
 

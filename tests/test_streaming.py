@@ -103,6 +103,25 @@ def test_stream_running_user_stats(spark, tmp_path):
     assert out == {1: (2, 9.0), 2: (3, 7.0)}
 
 
+def test_read_degrees_single_snapshot_semantics(spark, tmp_path):
+    """A delta above the base watermark is live; one at/below it is
+    folded history and must be ignored (compaction/read race defense:
+    both sets derive from one listing)."""
+    import pandas as pd
+
+    deg = str(tmp_path / "degsnap")
+    for part, rows in [
+        ("base=2", [(1, 5)]),
+        ("batch=1", [(1, 99)]),  # stale: already folded into base=2
+        ("batch=3", [(1, 2), (7, 1)]),  # live delta above the watermark
+    ]:
+        spark.createDataFrame(pd.DataFrame(rows, columns=["id", "outdeg"])).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{deg}/{part}")
+    got = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg).collect()}
+    assert got == {1: 7, 7: 1}
+
+
 def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     """Regression: foreachBatch is at-least-once; a replayed batch must
     not double-count (the batch partition already exists → skipped)."""
