@@ -1178,6 +1178,33 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_cc_converged(spark, sf_dir):
+    """The LIBRARY connected_components run to its fixed point — the
+    frontier-scheduled TARGET loop (F4 changed-only rescheduling + I2
+    run-until-frontier-empty, fogsrc/fog_engine.cpp:159-209) made
+    driver-visible. Unlike cc_hashmin (a fixed-round unroll re-written
+    in this module), this exercises the real algorithm: hub detection,
+    observed active counts, broadcast hints, per-superstep lineage cuts.
+    The oracle computes the same fixed point via a recursive CTE
+    (min id over the symmetric transitive closure)."""
+    from fog_spark.algorithms.cc import connected_components
+
+    return connected_components(cooccur_edges(spark, sf_dir)).select("id", "component")
+
+
+SQL_CC_CONVERGED = f"""
+WITH RECURSIVE {EDGES_CTE},
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+r AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT s.dst AS id, r.comp FROM r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(comp) AS component FROM r GROUP BY id
+"""
+
+
 EMB_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; 0.4 yields real pairs
 
 
@@ -1214,6 +1241,7 @@ QUERIES.update(
         "stream_degrees": q_stream_degrees,
         "stream_sessions": q_stream_sessions,
         "embedding_near_dups": q_embedding_near_dups,
+        "cc_converged": q_cc_converged,
     }
 )
 
@@ -1226,6 +1254,7 @@ ORACLES.update(
         "stream_degrees": SQL_OUT_DEGREES,
         "stream_sessions": SQL_STREAM_SESSIONS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "cc_converged": SQL_CC_CONVERGED,
         # image_features: intentionally no oracle (stubbed decode) —
         # the driver records the weaker rows-only check for it.
     }
