@@ -68,6 +68,73 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# GPT-2-style pretokenizer approximation, lowercase alphabet: contraction
+# suffixes, space-prefixed word / number runs, punctuation runs, whitespace.
+# Kept to RE2-compatible constructs so external engines tokenize identically.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_bpe_tokens, n_unique_bpe): BPE-ish pretokenizer counting —
+    the token-budget estimator for training-data pipelines (whitespace
+    splitting undercounts punctuation-heavy text; this matches the
+    shape real BPE pretokenizers produce)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_RE), 0)).alias("t"),
+    ).where(~F.col("t").rlike(r"^\s+$"))  # whitespace runs separate tokens, they are not tokens
+    return toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bpe_tokens"),
+        F.countDistinct("t").alias("n_unique_bpe"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, p, fp): MOSS-style winnowing — the rolling-hash document
+    fingerprint family. k-gram character shingles over the normalized
+    text are hashed; every window of ``w`` consecutive gram hashes
+    contributes its MIN as a fingerprint. Guarantees: any shared
+    substring of length >= k + w - 1 between two documents yields a
+    shared fingerprint.
+
+    All JVM built-ins: position explode -> substring -> md5 -> window
+    MIN. One shuffle (the window's partitioning by id).
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    d = docs.select(F.col(id_col).alias("id"), norm.alias("s")).where(F.length("s") >= k + w - 1)
+    grams = d.select(
+        "id",
+        (F.length("s") - k + 1).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.length("s") - k + 1)).alias("p"),
+        F.col("s"),
+    ).select("id", "n_grams", "p", F.md5(F.expr(f"substring(s, p, {k})")).alias("h"))
+    win = Window.partitionBy("id").orderBy("p").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .where(F.col("p") <= F.col("n_grams") - w + 1)  # only complete windows
+        .select("id", "p", "fp")
+    )
+    return fps
+
+
+def winnowing_sketch(docs: DataFrame, k: int = 8, w: int = 4, **kw) -> DataFrame:
+    """(id, n_windows, n_fingerprints, min_fp): per-doc winnowing summary."""
+    fps = winnowing_fingerprints(docs, k, w, **kw)
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp64, fp_hex): rolling-hash-style fingerprint of normalized text.
 

@@ -1231,8 +1231,55 @@ WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {EMB_NEARDUP_THRESHOLD
 """
 
 
+def q_winnow_sketch(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint sketch per document —
+    MOSS-style k-gram window-min (datapipe/text.winnowing_sketch)."""
+    from fog_spark.datapipe.text import winnowing_sketch
+
+    return winnowing_sketch(load(spark, sf_dir, "documents"), k=8, w=4).select(
+        F.col("id").alias("doc_id"), "n_windows", "n_fingerprints", "min_fp"
+    )
+
+
+SQL_WINNOW_SKETCH = """
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents),
+ok AS (SELECT doc_id, s, length(s) - 8 + 1 AS n_grams FROM d WHERE length(s) >= 8 + 4 - 1),
+grams AS (SELECT doc_id, n_grams, unnest(generate_series(1, n_grams)) AS p, s FROM ok),
+hashed AS (SELECT doc_id, n_grams, p, md5(substr(s, p, 8)) AS h FROM grams),
+fps AS (SELECT doc_id, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               n_grams
+        FROM hashed)
+SELECT doc_id, count(*) AS n_windows, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+FROM fps WHERE p <= n_grams - 4 + 1 GROUP BY doc_id
+"""
+
+
+def q_doc_token_bpe(spark, sf_dir):
+    """BPE-ish pretokenizer token counting (training-data token budgets)."""
+    from fog_spark.datapipe.text import bpe_token_stats
+
+    return bpe_token_stats(load(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_bpe_tokens", "n_unique_bpe"
+    )
+
+
+SQL_DOC_TOKEN_BPE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text),
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')) AS t
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_bpe_tokens, count(DISTINCT t) AS n_unique_bpe
+FROM toks WHERE NOT regexp_matches(t, '^\s+$') GROUP BY doc_id
+"""
+
+
 QUERIES.update(
     {
+        "winnow_sketch": q_winnow_sketch,
+        "doc_token_bpe": q_doc_token_bpe,
         "scc_fwbw_k6": q_scc_fwbw_k6,
         "adjlist_roundtrip": q_adjlist_roundtrip,
         "frame_sample": q_frame_sample,
@@ -1255,6 +1302,8 @@ ORACLES.update(
         "stream_sessions": SQL_STREAM_SESSIONS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cc_converged": SQL_CC_CONVERGED,
+        "winnow_sketch": SQL_WINNOW_SKETCH,
+        "doc_token_bpe": SQL_DOC_TOKEN_BPE,
         # image_features: intentionally no oracle (stubbed decode) —
         # the driver records the weaker rows-only check for it.
     }

@@ -201,6 +201,35 @@ def test_text_ops(spark, docs):
     assert fps[0] == fps[1] and fps[0] != fps[3]
 
 
+def test_winnowing_guarantee_and_bpe_tokens(spark):
+    from fog_spark.datapipe.text import bpe_token_stats, winnowing_sketch, winnowing_fingerprints
+
+    shared = "the common stretch of text that both documents carry verbatim"
+    rows = [
+        (0, "prefix one . " + shared + " . suffix alpha"),
+        (1, "prefix two .. " + shared + " .. suffix beta"),
+        (2, "nothing alike here at all in this one whatsoever"),
+        (3, "tiny"),  # below k+w-1: no fingerprints, must not crash
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fps = winnowing_fingerprints(docs, k=8, w=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.where(F.col("id") == i).collect()} for i in range(3)
+    }
+    # winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert fps.where(F.col("id") == 3).count() == 0
+    sk = {r["id"]: r for r in winnowing_sketch(docs, k=8, w=4).collect()}
+    assert sk[0]["n_fingerprints"] <= sk[0]["n_windows"]
+    assert 3 not in sk
+
+    bpe = {r["id"]: r for r in bpe_token_stats(docs).collect()}
+    # "tiny" -> one word token; punctuation runs count as tokens elsewhere
+    assert bpe[3]["n_bpe_tokens"] == 1
+    assert bpe[0]["n_bpe_tokens"] > len(rows[0][1].split()) - 5  # sanity: same order of magnitude
+
+
 def test_multimodal_plumbing(spark):
     from fog_spark.datapipe.multimodal import MEDIA_SCHEMA, audio_features, frame_sample, image_features
 
