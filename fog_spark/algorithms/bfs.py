@@ -39,14 +39,16 @@ def bfs_levels(
     vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
 
-    salted = False
+    salted, hubs = False, None
     if hub_threshold is not None:
-        hubs = top_degree_keys(fwd, "dst", hub_threshold)
+        # persist the (tiny) hub set, NOT the tagged edge frame: the
+        # per-superstep tag join then rebuilds its broadcast from the
+        # cache instead of re-aggregating degrees over all edges, and
+        # no second full-size copy of the edge table is cached
+        hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
         salted = bool(hubs.limit(1).count())
         if salted:
-            # persist the tagged frame: otherwise every superstep would
-            # re-run the degree aggregation inside the tag join
-            fwd = tag_hubs(fwd, hubs).persist()
+            fwd = tag_hubs(fwd, hubs)
 
     state = vertices.select(
         "id",
@@ -92,6 +94,6 @@ def bfs_levels(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
-    if salted:
-        fwd.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return state.select("id", "level")

@@ -52,14 +52,13 @@ def connected_components(
     vertices = vertices if vertices is not None else vertices_of(edges)
     sym = symmetrize(edges)  # self-loops dropped: TARGET rule cpu_thread.cpp:236-240
 
-    salted = False
+    salted, hubs = False, None
     if hub_threshold is not None:
-        hubs = top_degree_keys(sym, "dst", hub_threshold)
+        # persist the tiny hub set, not the tagged frame — see bfs.py
+        hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
         salted = bool(hubs.limit(1).count())
         if salted:
-            # persist: see bfs.py — the tag join must not re-aggregate
-            # degrees every superstep
-            sym = tag_hubs(sym, hubs).persist()
+            sym = tag_hubs(sym, hubs)
 
     # state carries a `changed` flag; the frontier is a projection of it.
     state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
@@ -103,6 +102,6 @@ def connected_components(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
-    if salted:
-        sym.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return state.select("id", F.col("comp").alias("component"))

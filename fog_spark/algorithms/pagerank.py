@@ -50,18 +50,20 @@ from fog_spark.engine.superstep import materialize, materialize_observed, maybe_
 DAMPING = 0.85  # application/pagerank.hpp:22
 
 
-def _hub_tagged(edges: DataFrame, hub_threshold: int | None) -> tuple[DataFrame, bool]:
+def _hub_tagged(edges: DataFrame, hub_threshold: int | None) -> tuple[DataFrame, bool, "DataFrame | None"]:
     """Tag hub in-degree keys once before the loop (skew mitigation).
 
-    The tagged frame is persisted (caller unpersists after its loop):
-    otherwise every superstep would re-run the degree aggregation
-    hiding inside the tag join's broadcast build."""
+    The (tiny) hub set is persisted and returned for cleanup — the
+    per-superstep tag join rebuilds its broadcast from that cache
+    instead of re-aggregating degrees over the whole edge table, and
+    no second full-size copy of the edge table is cached."""
     if hub_threshold is None:
-        return edges, False
-    hubs = top_degree_keys(edges, "dst", hub_threshold)
+        return edges, False, None
+    hubs = top_degree_keys(edges, "dst", hub_threshold).persist()
     if not hubs.limit(1).count():
-        return edges, False
-    return tag_hubs(edges, hubs).persist(), True
+        hubs.unpersist()
+        return edges, False, None
+    return tag_hubs(edges, hubs), True, hubs
 
 
 def _degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -99,7 +101,7 @@ def pagerank_fog(
         if rp is not None:
             start_step, state = rp
 
-    salted = False
+    salted, hubs = False, None
     if kernel == "csr":
         from fog_spark.engine.csr import pack_csr
 
@@ -107,7 +109,7 @@ def pagerank_fog(
         packed = pack_csr(edges, nparts).persist()
         packed.count()  # pack ONCE; reused by every superstep
     else:
-        edges, salted = _hub_tagged(edges, hub_threshold)
+        edges, salted, hubs = _hub_tagged(edges, hub_threshold)
 
     if start_step == 0:
         # resumed state is already parquet-backed — re-writing it would
@@ -145,8 +147,8 @@ def pagerank_fog(
 
     if kernel == "csr":
         packed.unpersist()
-    if salted:
-        edges.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return state.select("id", "rank")
 
 
@@ -189,7 +191,7 @@ def pagerank_standard(
                 return state.select("id", "rank"), start_it
     if start_it == 0:
         state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
-    edges, salted = _hub_tagged(edges, hub_threshold)
+    edges, salted, hubs = _hub_tagged(edges, hub_threshold)
 
     # scalar pass: dangling mass of the current rank vector
     dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -229,6 +231,6 @@ def pagerank_standard(
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:
             break
-    if salted:
-        edges.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return state.select("id", "rank"), it

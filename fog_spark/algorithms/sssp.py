@@ -45,14 +45,13 @@ def sssp(
     vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
 
-    salted = False
+    salted, hubs = False, None
     if hub_threshold is not None:
-        hubs = top_degree_keys(fwd, "dst", hub_threshold)
+        # persist the tiny hub set, not the tagged frame — see bfs.py
+        hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
         salted = bool(hubs.limit(1).count())
         if salted:
-            # persist: see bfs.py — the tag join must not re-aggregate
-            # degrees every superstep
-            fwd = tag_hubs(fwd, hubs).persist()
+            fwd = tag_hubs(fwd, hubs)
 
     state = vertices.select(
         "id",
@@ -106,6 +105,6 @@ def sssp(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
-    if salted:
-        fwd.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     return state.select("id", "dist", "pred")

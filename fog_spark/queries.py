@@ -868,33 +868,56 @@ ORACLES.update(
 # ---------------------------------------------------------------------------
 
 # Directed graph for SCC: within each order, lineitems sorted by
-# l_linenumber form a part-to-part chain, closed back to the first part
-# — every order is a directed cycle, and orders sharing parts merge into
-# larger SCCs. Self-edges (same part on consecutive lines) are dropped.
-DEDGES_CTE = """
-dlines AS (SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS p FROM lineitem),
+# l_linenumber form a part-to-part chain; EVEN orders close the chain
+# back to the first part (a directed cycle), ODD orders stay open
+# chains — so the graph mixes nontrivial SCCs (merged cycles) with
+# DAG regions (singleton SCCs). Self-edges are dropped.
+def _dedges_cte(mod: int) -> str:
+    return f"""
+dlines AS (SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS p FROM lineitem
+           WHERE l_orderkey % {mod} = 0),
 dedges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT p AS src,
-           coalesce(lead(p) OVER w, first_value(p) OVER w) AS dst
+           coalesce(lead(p) OVER w,
+                    CASE WHEN k % 2 = 0 THEN first_value(p) OVER w END) AS dst
     FROM dlines
     WINDOW w AS (PARTITION BY k ORDER BY ln)
-  ) WHERE src <> dst
+  ) WHERE dst IS NOT NULL AND src <> dst
 )
 """.strip()
 
 
-def directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst): the order-chain directed graph (see DEDGES_CTE)."""
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"), F.col("l_partkey").alias("p")
+# fixed-round FW-BW query: denser sample (one large SCC + chains);
+# convergent library query: sparser sample (hundreds of mixed SCCs)
+SCC_FIXED_MOD = 23
+SCC_CONV_MOD = 97
+DEDGES_CTE = _dedges_cte(SCC_FIXED_MOD)
+
+
+def directed_edges(spark: SparkSession, sf_dir: str, mod: int = SCC_FIXED_MOD) -> DataFrame:
+    """(src, dst): the order-chain directed graph (see _dedges_cte).
+
+    The 1-in-``mod`` order sample controls SCC structure: the full
+    table is so dense every part lands in ONE giant SCC; sampling
+    yields a mix of nontrivial SCCs, small cycles, and DAG chains.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % mod == 0)
+        .select(
+            F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("ln"), F.col("l_partkey").alias("p")
+        )
     )
     w = Window.partitionBy("k").orderBy("ln")
     chained = li.select(
         F.col("p").alias("src"),
-        F.coalesce(F.lead("p").over(w), F.first("p").over(w)).alias("dst"),
+        F.coalesce(
+            F.lead("p").over(w),
+            F.when(F.col("k") % 2 == 0, F.first("p").over(w)),
+        ).alias("dst"),
     )
-    return chained.where(F.col("src") != F.col("dst")).distinct()
+    return chained.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst"))).distinct()
 
 
 SCC_FWD_ROUNDS = 6
@@ -987,6 +1010,34 @@ def _sql_scc(kf: int, kb: int) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, CASE WHEN conf THEN lbl ELSE id END AS scc_id FROM c{kb}"
     )
+
+
+def q_scc_converged(spark, sf_dir):
+    """The LIBRARY strongly_connected_components run to completion —
+    full trim + FW-BW peeling (application/scc.hpp:22-207) made
+    driver-visible. The oracle computes the exact fixed point directly:
+    scc_id(v) = min{u : u reaches v AND v reaches u} via a recursive
+    transitive closure."""
+    from fog_spark.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        directed_edges(spark, sf_dir, mod=SCC_CONV_MOD)
+    ).select("id", "component")
+
+
+SQL_SCC_CONVERGED = f"""
+WITH RECURSIVE {_dedges_cte(SCC_CONV_MOD)},
+dverts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+reach AS (
+  SELECT id AS u, id AS v FROM dverts
+  UNION
+  SELECT r.u, e.dst AS v FROM reach r JOIN dedges e ON e.src = r.v
+)
+SELECT f.v AS id, min(f.u) AS component
+FROM reach f
+WHERE EXISTS (SELECT 1 FROM reach b WHERE b.u = f.v AND b.v = f.u)
+GROUP BY f.v
+"""
 
 
 def q_adjlist_roundtrip(spark, sf_dir):
@@ -1289,6 +1340,7 @@ QUERIES.update(
         "stream_sessions": q_stream_sessions,
         "embedding_near_dups": q_embedding_near_dups,
         "cc_converged": q_cc_converged,
+        "scc_converged": q_scc_converged,
     }
 )
 
@@ -1302,6 +1354,7 @@ ORACLES.update(
         "stream_sessions": SQL_STREAM_SESSIONS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cc_converged": SQL_CC_CONVERGED,
+        "scc_converged": SQL_SCC_CONVERGED,
         "winnow_sketch": SQL_WINNOW_SKETCH,
         "doc_token_bpe": SQL_DOC_TOKEN_BPE,
         # image_features: intentionally no oracle (stubbed decode) —
