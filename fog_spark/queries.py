@@ -1259,6 +1259,44 @@ SELECT id, min(comp) AS component FROM r GROUP BY id
 EMB_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal; 0.4 yields real pairs
 
 
+def q_stream_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user (count, max value) driven to completion with
+    availableNow. The final state per user equals the batch aggregate —
+    the sink is folded by max(n) since update mode may emit a row per
+    micro-batch and n is monotone."""
+    import tempfile
+    import uuid
+
+    from fog_spark.streaming.ingest import stream_running_user_stats
+
+    inp = tempfile.mkdtemp(prefix="fogspark_stream_us_") + "/in"
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).parquet(inp)
+    name = "ustats_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.max("max_value"), 4).alias("max_value_r"),
+    )
+
+
+SQL_STREAM_USER_STATS = """
+SELECT user_id, count(*)::BIGINT AS n_events, round(max(value), 4) AS max_value_r
+FROM events GROUP BY user_id
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (dedup family #5): exact
     all-pairs at oracle scale; the scale path shortlists via LSH
@@ -1338,6 +1376,7 @@ QUERIES.update(
         "pagerank_resume_k3": q_pagerank_resume_k3,
         "stream_degrees": q_stream_degrees,
         "stream_sessions": q_stream_sessions,
+        "stream_user_stats": q_stream_user_stats,
         "embedding_near_dups": q_embedding_near_dups,
         "cc_converged": q_cc_converged,
         "scc_converged": q_scc_converged,
@@ -1352,6 +1391,7 @@ ORACLES.update(
         "pagerank_resume_k3": _sql_pagerank(PR_ROUNDS),
         "stream_degrees": SQL_OUT_DEGREES,
         "stream_sessions": SQL_STREAM_SESSIONS,
+        "stream_user_stats": SQL_STREAM_USER_STATS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cc_converged": SQL_CC_CONVERGED,
         "scc_converged": SQL_SCC_CONVERGED,
