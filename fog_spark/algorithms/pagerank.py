@@ -176,6 +176,8 @@ def pagerank_standard(
     vertices = vertices if vertices is not None else vertices_of(edges)
     state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
     n = state.count()
+    if n == 0:  # an empty graph is converged (and 1/n is undefined)
+        return state.select("id", "rank"), 0
     state = state.withColumn("rank", F.lit(1.0 / n))
 
     start_it = 0
@@ -226,7 +228,9 @@ def pagerank_standard(
             ctx,
             it,
         )
-        delta, dangling = float(om["delta"]), float(om["dangling"] or 0.0)
+        # om values are None on an empty vertex set — an empty graph is
+        # converged (matches bfs/cc/sssp's observed-metric null handling)
+        delta, dangling = float(om["delta"] or 0.0), float(om["dangling"] or 0.0)
         if ctx is not None:
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:

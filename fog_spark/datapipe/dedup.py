@@ -166,7 +166,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return per_bit.select("id", sim.cast("long").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, n_segments: int = 4, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_dups(docs: DataFrame, n_segments: int = 4, max_hamming: int = 3,
+                      max_bucket: int = 100_000, **kw) -> DataFrame:
     """Near-dup pairs by SimHash: block on ``n_segments`` disjoint bit
     segments, verify Hamming distance <= max_hamming within blocks.
 
@@ -177,12 +178,23 @@ def simhash_near_dups(docs: DataFrame, n_segments: int = 4, max_hamming: int = 3
     land in the prefix. Each signature lands in n_segments blocks; the
     per-block join stays bucket-local.
     """
-    return simhash_pairs_from_sigs(simhash64(docs, **kw), n_segments, max_hamming)
+    return simhash_pairs_from_sigs(simhash64(docs, **kw), n_segments, max_hamming, max_bucket)
 
 
-def simhash_pairs_from_sigs(sig: DataFrame, n_segments: int = 4, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs_from_sigs(sig: DataFrame, n_segments: int = 4, max_hamming: int = 3,
+                            max_bucket: int = 100_000) -> DataFrame:
     """Segment-blocked Hamming join over a precomputed (id, simhash)
-    frame (see simhash_near_dups for the recall guarantee)."""
+    frame (see simhash_near_dups for the recall guarantee).
+
+    Blocks larger than ``max_bucket`` are DROPPED before the self-join
+    (same guard as minhash_lsh_candidates / lsh_ann_topk): a popular
+    segment value — e.g. an all-zeros segment shared by many
+    near-uniform docs — would otherwise make that block's self-join
+    quadratic. Recall impact: a pair whose ONLY agreeing segments all
+    sit in oversized blocks is missed, weakening the pigeonhole
+    guarantee to "within surviving blocks"; pairs that huge-block
+    regime produces are overwhelmingly far apart anyway (a segment
+    shared by >max_bucket docs carries ~no near-dup signal)."""
     width = 64 // n_segments
     # segment s = bits [s*width, (s+1)*width); key carries the segment
     # index so equal bit patterns in different segments never collide
@@ -198,6 +210,8 @@ def simhash_pairs_from_sigs(sig: DataFrame, n_segments: int = 4, max_hamming: in
         ]
     )
     blocked = sig.select("id", "simhash", F.explode(seg_keys).alias("blk"))
+    sizes = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    blocked = blocked.join(sizes.filter(F.col("n") <= max_bucket).select("blk"), "blk")
     a = blocked.select("blk", F.col("id").alias("a_id"), F.col("simhash").alias("ha"))
     b = blocked.select("blk", F.col("id").alias("b_id"), F.col("simhash").alias("hb"))
     return (

@@ -43,13 +43,22 @@ class FakeDecoder:
 
     Real deployments replace decode() with Pillow/ffmpeg; everything
     downstream (batch shape, dtype, feature math) is unchanged.
+
+    The stub is CLOSED-FORM, not RNG-based, so downstream statistics
+    are reproducible by an external SQL oracle: flattened pixel ``m``
+    of the (h, w, 3) image is ``md5(payload).digest()[m % 16]``, i.e.
+    the 16 digest bytes tiled across the image. Mean luminance then
+    reduces to ``(hw//16) * 1000 * sum(digest) + tail`` over the first
+    ``hw % 16`` pixels (one 16-pixel period contributes exactly
+    ``(299+587+114) * sum(digest)``), which DuckDB can evaluate from
+    ``md5(text)`` alone — see queries.SQL_IMAGE_FEATURES.
     """
 
     @staticmethod
     def decode(payload: bytes, h: int, w: int) -> np.ndarray:
-        seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        digest = np.frombuffer(hashlib.md5(payload or b"").digest(), dtype=np.uint8)
+        n = h * w * 3
+        return np.tile(digest, -(-n // 16))[:n].reshape(h, w, 3)
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -73,14 +82,17 @@ def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 h = int(meta["height"] or 32)
                 w = int(meta["width"] or 32)
-                img = FakeDecoder.decode(payload, h, w).astype(np.float64)
-                luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+                img = FakeDecoder.decode(payload, h, w).astype(np.int64)
+                # integer-scaled BT.601 luma (x1000): the per-image mean is
+                # then ONE exact int/int double division, bit-identical to
+                # what an external SQL oracle computes from the same ints.
+                luma_scaled = 299 * img[..., 0] + 587 * img[..., 1] + 114 * img[..., 2]
                 # nearest-neighbor resample handles any h/w >= 1
                 rows = np.arange(resize_to) * h // resize_to
                 cols = np.arange(resize_to) * w // resize_to
-                small = luma[rows][:, cols]
+                small = luma_scaled[rows][:, cols] / 1000.0
                 ids.append(mid)
-                lumas.append(float(luma.mean()))
+                lumas.append(float(luma_scaled.sum()) / (1000.0 * h * w))
                 feats.append(small.flatten().astype(np.float32).tolist())
             yield pd.DataFrame({"media_id": ids, "mean_luma": lumas, "feature": feats})
 

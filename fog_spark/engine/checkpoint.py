@@ -34,11 +34,16 @@ from fog_spark.engine import fs
 
 
 class RunContext:
-    def __init__(self, spark: SparkSession, run_dir: str, run_id: str = "run0", collect_lineage: bool = True):
+    def __init__(self, spark: SparkSession, run_dir: str, run_id: str = "run0",
+                 collect_lineage: bool = True, keep_last: int | None = None):
+        """``keep_last=K`` turns on retention: every commit() vacuums
+        snapshots/metrics older than the newest K supersteps (never the
+        resume point). ``None`` (default) keeps full history."""
         self.spark = spark
         self.root = f"{run_dir.rstrip('/')}/{run_id}"
         self.run_id = run_id
         self.collect_lineage = collect_lineage
+        self.keep_last = keep_last
         fs.mkdirs(spark, self._metrics_dir())
 
     # -- state ------------------------------------------------------------
@@ -109,21 +114,69 @@ class RunContext:
             # a silently dropped metric would make the committed state
             # invisible to resume — fail loudly like write_state does
             raise IOError(f"metric commit rename failed: {tmp} -> {path}")
+        if self.keep_last is not None:
+            self.vacuum(self.keep_last)
 
     def metrics(self) -> list[dict]:
+        # sort by the parsed integer step, not the filename: at
+        # step >= 100000 the %05d format widens and 'step=100000' would
+        # sort lexicographically BEFORE 'step=99999'
         names = sorted(
-            n for n in fs.list_names(self.spark, self._metrics_dir())
-            if n.startswith("step=") and n.endswith(".json")
+            (n for n in fs.list_names(self.spark, self._metrics_dir())
+             if n.startswith("step=") and n.endswith(".json")),
+            key=lambda n: int(n[5:-5]),
         )
         out = []
         for n in names:
             try:
                 out.append(json.loads(fs.read_text(self.spark, f"{self._metrics_dir()}/{n}")))
-            except (ValueError, OSError):
+            except Exception:
                 # a damaged record must not brick resume — skip it; the
-                # matching state snapshot is simply not resumed into
+                # matching state snapshot is simply not resumed into.
+                # Broad on purpose: JVM-side read failures (file deleted
+                # between list and read, transient object-store error)
+                # surface as py4j.protocol.Py4JJavaError, not OSError.
                 continue
         return out
+
+    def vacuum(self, keep_last: int = 2, name: str = "state") -> list[int]:
+        """Checkpoint retention: delete state snapshots + metric records
+        older than the newest ``keep_last`` committed supersteps, so a
+        1,000-superstep run stores O(keep_last) snapshots, not 1,000
+        (FOG overwrites ONE .attr file in place —
+        fogsrc/fog_engine.cpp:245-261 — this is the durable analogue).
+
+        The newest step whose snapshot is actually PRESENT (the resume
+        point) is always kept, even when commits newer than it lost
+        their snapshots. Returns the vacuumed step numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        steps = [r["superstep"] for r in self.metrics()]
+        if not steps:
+            return []
+        keep = set(steps[-keep_last:])
+        for s in reversed(steps):  # protect the resume point
+            if fs.exists(self.spark, self._state_dir(s, name)):
+                keep.add(s)
+                break
+        min_keep = min(keep)
+        # metric-less snapshots (the step-0 init write, or orphans from a
+        # crash between write_state and commit) age out with the window too
+        state_steps = {
+            int(n[5:])
+            for n in fs.list_names(self.spark, f"{self.root}/{name}")
+            if n.startswith("step=") and n[5:].isdigit()
+        }
+        removed = []
+        for s in sorted(set(steps) | state_steps):
+            if s in keep:
+                continue
+            if s not in steps and s >= min_keep:
+                continue  # metric-less dir at/above the window: possibly in-flight
+            fs.delete(self.spark, self._state_dir(s, name))
+            fs.delete(self.spark, self._metric_path(s))
+            removed.append(s)
+        return removed
 
     def last_committed(self) -> dict | None:
         m = self.metrics()

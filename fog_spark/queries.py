@@ -1119,13 +1119,50 @@ FROM vids WHERE nf > 0
 def q_image_features(spark, sf_dir):
     """Image decode -> luma feature (multimodal op). The decode is the
     documented deterministic stub (datapipe/multimodal.FakeDecoder — no
-    media libs in-container), so this query has NO SQL oracle: the
-    driver's rows-only check covers the mapInPandas plumbing (schema,
-    Arrow batching, partition shape)."""
+    media libs in-container), but the stub is CLOSED-FORM (md5 digest
+    bytes tiled over the pixel grid), so mean luminance is reproducible
+    by the SQL oracle below from md5(text) alone — a full rows+schema+
+    hash check of the mapInPandas plumbing AND the feature math."""
     from fog_spark.datapipe.multimodal import image_features
 
     feats = image_features(media_table(spark, sf_dir), resize_to=8)
-    return feats.select("media_id", F.round("mean_luma", 4).alias("mean_luma_r"))
+    return feats.select("media_id", F.round("mean_luma", 6).alias("mean_luma_r"))
+
+
+# Mean luma of the closed-form pseudo-decode: flattened pixel m is
+# digest[m % 16]; one 16-pixel period of scaled luma (299R+587G+114B)
+# sums to exactly 1000 * sum(digest bytes) because 3k, 3k+1, 3k+2 each
+# walk the full residue system mod 16. The tail is the first hw % 16
+# pixels, expanded per-k.  Both sides do ONE int/int double division.
+SQL_IMAGE_FEATURES = """
+WITH imgs AS (
+  SELECT doc_id AS media_id, md5(text) AS hx,
+         (doc_id % 32 + 16)::BIGINT AS h, (doc_id % 48 + 16)::BIGINT AS w
+  FROM documents WHERE doc_id % 3 = 0
+),
+bytes AS (
+  SELECT media_id, h, w, i,
+         (strpos('0123456789abcdef', substr(hx, 2*i::INT+1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2*i::INT+2, 1)) - 1) AS b
+  FROM imgs, range(16) t(i)
+),
+digests AS (
+  SELECT media_id, h, w, sum(b)::BIGINT AS sumd, list(b ORDER BY i) AS d
+  FROM bytes GROUP BY media_id, h, w
+),
+rem AS (
+  SELECT media_id,
+         sum(299 * d[(3*k) % 16 + 1] + 587 * d[(3*k+1) % 16 + 1]
+             + 114 * d[(3*k+2) % 16 + 1])::BIGINT AS rem_sum
+  FROM digests, range(15) t(k)
+  WHERE k < (h*w) % 16
+  GROUP BY media_id
+)
+SELECT g.media_id,
+       round((((h*w) // 16) * 1000 * sumd + coalesce(rem_sum, 0))::DOUBLE
+             / (1000 * h * w), 6) AS mean_luma_r
+FROM digests g LEFT JOIN rem USING (media_id)
+"""
 
 
 def q_pagerank_resume_k3(spark, sf_dir):
@@ -1397,7 +1434,8 @@ ORACLES.update(
         "scc_converged": SQL_SCC_CONVERGED,
         "winnow_sketch": SQL_WINNOW_SKETCH,
         "doc_token_bpe": SQL_DOC_TOKEN_BPE,
-        # image_features: intentionally no oracle (stubbed decode) —
-        # the driver records the weaker rows-only check for it.
+        # image_features IS oracled: the decode stub is closed-form
+        # (md5 bytes tiled over pixels), so DuckDB reproduces mean luma.
+        "image_features": SQL_IMAGE_FEATURES,
     }
 )

@@ -12,8 +12,9 @@ state must be maintainable incrementally instead of recomputed.
   atomic rename — O(delta) work per trigger, never a rewrite of the
   accumulated table, and replay-idempotent because a batch directory
   that already exists is skipped. ``read_degrees`` folds base + deltas;
-  ``compact_degrees`` periodically rolls deltas into a new base
-  (readers never depend on deletion, so compaction is crash-safe).
+  ``compact_degrees`` periodically rolls deltas into a new base and
+  vacuums with a one-compaction-cycle grace window, so in-flight
+  readers (eager listing, lazy scan) never lose parts under them.
   This is the parquet-dir stand-in for an Iceberg MERGE INTO /
   snapshot-append table; all path ops go through the Hadoop FS API
   (engine/fs), not local-POSIX ``os`` calls.
@@ -121,7 +122,14 @@ def _fold_parts(spark: SparkSession, parts: list[str]) -> DataFrame:
 
 
 def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
-    """(id, outdeg): current degree table = newest base + later deltas."""
+    """(id, outdeg): current degree table = newest base + later deltas.
+
+    The part list comes from one eager directory listing but the
+    returned DataFrame scans lazily, so a reader holds its snapshot
+    valid for one full compaction cycle (compact_degrees vacuums only
+    parts made dead by the PREVIOUS compaction). A frame kept unscanned
+    across MORE than one compaction is out of contract — re-call
+    read_degrees instead of caching the lazy frame that long."""
     return _fold_parts(spark, _current_parts(fs.list_names(spark, degrees_path), degrees_path))
 
 
@@ -132,16 +140,21 @@ def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
     id come from ONE directory listing (a batch published after the
     snapshot is neither folded nor vacuumed — it stays a live delta
     above the new base's watermark); the new ``base=<K>`` lands by
-    atomic rename BEFORE any delta is deleted, and ``read_degrees``
+    atomic rename BEFORE anything is deleted, and ``read_degrees``
     ignores deltas ≤ the newest base — so every intermediate state
-    reads correctly. Run periodically so the read-side union stays
-    short.
+    reads correctly. Vacuuming is DELAYED one cycle: this call deletes
+    only the base/deltas that the PREVIOUS compaction made dead, so an
+    in-flight reader (eager listing, lazy scan) keeps a valid snapshot
+    for a full compaction period. Run periodically so the read-side
+    union stays short.
     """
     names = fs.list_names(spark, degrees_path)
     batches = _ids_from(names, "batch")
     if not batches:
         return
     k = batches[-1]
+    prior_bases = [b for b in _ids_from(names, "base") if b < k]
+    prev = prior_bases[-1] if prior_bases else -1
     base_dir = f"{degrees_path}/base={k}"
     if not fs.exists(spark, base_dir):  # re-run after a crash mid-vacuum skips the publish
         agg = _fold_parts(spark, _current_parts(names, degrees_path))
@@ -150,11 +163,13 @@ def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
         agg.write.mode("overwrite").parquet(tmp)
         if not fs.rename(spark, tmp, base_dir):
             raise IOError(f"degree base publish failed: {tmp}")
-    for b in _ids_from(names, "base"):
-        if b < k:
-            fs.delete(spark, f"{degrees_path}/base={b}")
+    # one-cycle grace window: keep base=prev and the deltas folded into
+    # base=k; drop only what the previous compaction already superseded
+    for b in prior_bases[:-1]:
+        fs.delete(spark, f"{degrees_path}/base={b}")
     for b in batches:
-        fs.delete(spark, f"{degrees_path}/batch={b}")
+        if b <= prev:
+            fs.delete(spark, f"{degrees_path}/batch={b}")
 
 
 def stream_event_sessions(

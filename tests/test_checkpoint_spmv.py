@@ -54,6 +54,44 @@ def test_pagerank_resume_bit_identical(spark, tmp_path):
     assert all(sum(rec["lineage"].values()) == g.n for rec in m if rec["lineage"])
 
 
+def test_vacuum_retention_and_resume(spark, tmp_path):
+    """keep_last=K retention: a run dir stores O(K) snapshots, vacuuming
+    mid-run never touches the resume point, and resume after vacuum is
+    bit-identical to the unvacuumed run."""
+    from fog_spark.engine import fs
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+
+    ctx0 = RunContext(spark, str(tmp_path), "runNoVac")
+    clean = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6, ctx=ctx0).collect()}
+
+    ctx1 = RunContext(spark, str(tmp_path), "runVac", keep_last=2)
+    pagerank_fog(edges, vertices, niters=4, ctx=ctx1)  # "crash" after step 4
+    kept = sorted(n for n in fs.list_names(spark, f"{ctx1.root}/state") if n.startswith("step="))
+    assert kept == ["step=00003", "step=00004"]  # O(keep_last), not O(supersteps)
+    assert len(ctx1.metrics()) == 2
+
+    ctx2 = RunContext(spark, str(tmp_path), "runVac", keep_last=2)  # resume
+    resumed = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6, ctx=ctx2).collect()}
+    assert ctx2.last_committed()["superstep"] == 6
+    assert resumed == clean  # bit-identical to the unvacuumed run
+
+    # vacuum never deletes the resume point, even when it falls OUTSIDE
+    # the keep window (newer commits lost their snapshots)
+    ctx3 = RunContext(spark, str(tmp_path), "runProtect")
+    state = spark.range(4).select("id", F.lit(1.0).alias("rank"))
+    for step in range(1, 5):
+        ctx3.write_state(state, step)
+        ctx3.commit(step, active=4, delta=None, wall_s=0.0)
+    fs.delete(spark, ctx3._state_dir(3, "state"))
+    fs.delete(spark, ctx3._state_dir(4, "state"))
+    assert ctx3.vacuum(keep_last=1) == [1, 3]  # keeps 4 (window) AND 2 (resume point)
+    step, _ = ctx3.resume_point()
+    assert step == 2
+
+
 def test_cc_checkpointed_matches_plain(spark, tmp_path):
     g = GRAPHS["g_two_comp"]
     edges = graph_to_spark(spark, g)

@@ -122,6 +122,41 @@ def test_read_degrees_single_snapshot_semantics(spark, tmp_path):
     assert got == {1: 7, 7: 1}
 
 
+def test_compaction_grace_window(spark, tmp_path):
+    """Vacuum is delayed one compaction cycle: an in-flight reader that
+    listed parts BEFORE a compaction can still scan them afterwards;
+    only a second compaction deletes what the first superseded."""
+    import pandas as pd
+
+    deg = str(tmp_path / "deggrace")
+
+    def write_part(part, rows):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["id", "outdeg"])).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{deg}/{part}")
+
+    write_part("batch=0", [(1, 1)])
+    write_part("batch=1", [(1, 2), (5, 1)])
+    lazy_reader = read_degrees(spark, deg)  # lists now, scans later
+    compact_degrees(spark, deg)  # publishes base=1; batch 0/1 kept one cycle
+    assert {r["id"]: r["outdeg"] for r in lazy_reader.collect()} == {1: 3, 5: 1}
+
+    write_part("batch=2", [(5, 4)])
+    lazy_reader2 = read_degrees(spark, deg)  # snapshot: base=1 + batch=2
+    compact_degrees(spark, deg)  # publishes base=2; deletes batch 0/1, keeps base=1
+    # the first compaction's products survive for the in-flight reader
+    assert {r["id"]: r["outdeg"] for r in lazy_reader2.collect()} == {1: 3, 5: 5}
+    assert {r["id"]: r["outdeg"] for r in read_degrees(spark, deg).collect()} == {1: 3, 5: 5}
+    # and the THIRD compaction (after one more delta) vacuums base=1
+    write_part("batch=3", [(9, 1)])
+    compact_degrees(spark, deg)
+    from fog_spark.engine import fs
+
+    names = fs.list_names(spark, deg)
+    assert "base=1" not in names and "batch=0" not in names and "batch=1" not in names
+    assert {r["id"]: r["outdeg"] for r in read_degrees(spark, deg).collect()} == {1: 3, 5: 5, 9: 1}
+
+
 def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     """Regression: foreachBatch is at-least-once; a replayed batch must
     not double-count (the batch partition already exists → skipped)."""
