@@ -46,7 +46,7 @@ def bfs_levels(
         # cache instead of re-aggregating degrees over all edges, and
         # no second full-size copy of the edge table is cached
         hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
-        salted = bool(hubs.limit(1).count())
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
             fwd = tag_hubs(fwd, hubs)
 

@@ -56,7 +56,7 @@ def connected_components(
     if hub_threshold is not None:
         # persist the tiny hub set, not the tagged frame — see bfs.py
         hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
-        salted = bool(hubs.limit(1).count())
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
             sym = tag_hubs(sym, hubs)
 

@@ -53,7 +53,7 @@ def label_propagation(
     salted = False
     if hub_threshold is not None:
         hubs = top_degree_keys(sym, "dst", hub_threshold)
-        salted = bool(hubs.limit(1).count())
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
             sym = tag_hubs(sym, hubs)
     sym = sym.persist()

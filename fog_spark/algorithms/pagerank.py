@@ -60,7 +60,7 @@ def _hub_tagged(edges: DataFrame, hub_threshold: int | None) -> tuple[DataFrame,
     if hub_threshold is None:
         return edges, False, None
     hubs = top_degree_keys(edges, "dst", hub_threshold).persist()
-    if not hubs.limit(1).count():
+    if hubs.isEmpty():  # take(1) probe, not a full count job
         hubs.unpersist()
         return edges, False, None
     return tag_hubs(edges, hubs), True, hubs

@@ -28,14 +28,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, vertices_of, with_frontier_hint
+from fog_spark.engine.superstep import (
+    active_metric,
+    materialize,
+    materialize_observed,
+    vertices_of,
+    with_frontier_hint,
+)
+
+
+def _mat_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize + row count folded into the SAME Spark job (observe):
+    the SCC driver loop needs a cardinality after nearly every
+    materialization, and a separate .count() job per round doubles the
+    driver round-trips at 100s of peel rounds."""
+    out, om = materialize_observed(df, [F.count(F.lit(1)).alias("n")])
+    return out, int(om["n"] or 0)
 
 
 def _hash_min_fixed_point(edges: DataFrame, vertices: DataFrame, max_iters: int = 500) -> DataFrame:
     """fwd(v) = min vertex id reaching v along directed edges (incl. itself)."""
     state = vertices.select("id", F.col("id").alias("lbl"), F.lit(True).alias("changed"))
-    state = materialize(state)
-    active = state.count()
+    state, active = _mat_count(state)
     for _ in range(max_iters):
         if active == 0:
             break
@@ -50,8 +64,8 @@ def _hash_min_fixed_point(edges: DataFrame, vertices: DataFrame, max_iters: int 
             F.least("lbl", F.coalesce("cand", F.col("lbl"))).alias("lbl"),
             (F.coalesce("cand", F.col("lbl")) < F.col("lbl")).alias("changed"),
         )
-        state = materialize(state)
-        active = state.filter("changed").count()
+        state, om = materialize_observed(state, [active_metric()])
+        active = int(om["active"] or 0)
     return state.select("id", "lbl")
 
 
@@ -65,11 +79,10 @@ def strongly_connected_components(
     vertices = vertices if vertices is not None else vertices_of(edges)
     e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
 
-    remaining = materialize(vertices.select("id"))
+    remaining, n_rem = _mat_count(vertices.select("id"))
     assigned_parts: list[DataFrame] = []
 
     for _ in range(max_outer):
-        n_rem = remaining.count()
         if n_rem == 0:
             break
         sub = (
@@ -86,16 +99,16 @@ def strongly_connected_components(
             trimmed = remaining.join(both, "id", "left_anti").select(
                 "id", F.col("id").alias("component")
             )
-            trimmed = materialize(trimmed)
-            if trimmed.count() == 0:
+            trimmed, n_trim = _mat_count(trimmed)
+            if n_trim == 0:
                 break
             assigned_parts.append(trimmed)
-            remaining = materialize(remaining.join(trimmed, "id", "left_anti"))
+            remaining, n_rem = _mat_count(remaining.join(trimmed, "id", "left_anti"))
             sub = materialize(
                 sub.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
                 .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
             )
-        if remaining.count() == 0:
+        if n_rem == 0:
             break
 
         # 2. forward hash-min to fixed point on the trimmed subgraph
@@ -109,8 +122,8 @@ def strongly_connected_components(
             rev.join(lbl_src, "src").join(lbl_dst, "dst").filter("ls = ld").select("src", "dst")
         )
         conf = fwd.select("id", "lbl", (F.col("id") == F.col("lbl")).alias("confirmed"))
-        conf = materialize(conf)
-        frontier_n = conf.filter("confirmed").count()
+        conf, om = materialize_observed(conf, [active_metric("confirmed")])
+        frontier_n = int(om["active"] or 0)
         newly = conf.filter("confirmed")
         while frontier_n > 0:
             fr = with_frontier_hint(newly.select(F.col("id").alias("src")), frontier_n)
@@ -120,22 +133,26 @@ def strongly_connected_components(
                 nxt.select("id", F.lit(True).alias("c2")), "id", "left"
             ).select("id", "lbl", (F.col("confirmed") | F.coalesce("c2", F.lit(False))).alias("confirmed"))
             conf = materialize(conf)
-            newly = materialize(nxt.select("id", "lbl", F.lit(True).alias("confirmed")))
-            frontier_n = newly.count()
+            newly, frontier_n = _mat_count(nxt.select("id", "lbl", F.lit(True).alias("confirmed")))
 
         done = conf.filter("confirmed").select("id", F.col("lbl").alias("component"))
         done = materialize(done)
         assigned_parts.append(done)
-        remaining = materialize(remaining.join(done, "id", "left_anti"))
+        remaining, n_rem = _mat_count(remaining.join(done, "id", "left_anti"))
 
-    if remaining.count() > 0:
+    if n_rem > 0:
         raise RuntimeError(
             f"SCC did not converge within max_outer={max_outer} rounds; "
             "raise max_outer (a partial result would silently drop vertices)"
         )
     if not assigned_parts:  # empty graph
         return vertices.select("id", F.col("id").alias("component"))
-    out = assigned_parts[0]
-    for p in assigned_parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # halving unions keep the final plan O(log parts) deep — a left-deep
+    # chain at max_outer=100 peel rounds would be a 100-level plan
+    parts = assigned_parts
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

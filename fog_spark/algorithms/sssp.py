@@ -49,7 +49,7 @@ def sssp(
     if hub_threshold is not None:
         # persist the tiny hub set, not the tagged frame — see bfs.py
         hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
-        salted = bool(hubs.limit(1).count())
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
             fwd = tag_hubs(fwd, hubs)
 

@@ -14,6 +14,10 @@ micro-batch) — the data plane stays in Spark jobs.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import uuid
+
 from pyspark.sql import SparkSession
 
 
@@ -46,6 +50,25 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, s = _fs_path(spark, src)
     _, d = _fs_path(spark, dst)
     return bool(fs.rename(s, d))
+
+
+def scratch_dir(spark: SparkSession, prefix: str = "scratch") -> str:
+    """Unique scratch directory under the configured scratch root —
+    the cluster-faithful replacement for driver-local tempfile.mkdtemp
+    (which silently assumes the driver shares a POSIX FS with the data).
+
+    Root resolution: spark conf ``spark.fogspark.scratchRoot``, then env
+    ``FOG_SPARK_SCRATCH``, else ``file:/<system tempdir>``. Any URI the
+    Hadoop FS layer resolves works (file:/, hdfs://, s3a://...).
+    """
+    root = (
+        spark.conf.get("spark.fogspark.scratchRoot", None)
+        or os.environ.get("FOG_SPARK_SCRATCH")
+        or "file:" + tempfile.gettempdir()
+    )
+    path = f"{root.rstrip('/')}/{prefix}-{uuid.uuid4().hex[:12]}"
+    mkdirs(spark, path)
+    return path
 
 
 def list_names(spark: SparkSession, path: str) -> list[str]:

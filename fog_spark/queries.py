@@ -588,6 +588,29 @@ SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cos_r FROM r WHERE rn = 1
 """
 
 
+def q_ivf_knn(spark, sf_dir):
+    """IVF ANN made driver-visible (the second declared 100 TB
+    similarity path, datapipe/similarity.ivf_topk). Run at FULL probe
+    (nprobe == n_centroids), where inverted-file search is exact by
+    construction (tests/test_datapipe.py::test_ivf_full_probe_is_exact),
+    so the brute-force kNN oracle applies verbatim while the query still
+    exercises the real scale plumbing: Lloyd-trained centroids via
+    mapInPandas partials, one-list-per-vector indexing, bucket-local
+    cid joins, per-query probe explode."""
+    from fog_spark.datapipe.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    top = ivf_topk(e, k=1, n_centroids=8, nprobe=8, rounds=2)
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        "nn_id",
+        F.round("cos", 6).alias("cos_r"),
+    )
+
+
+SQL_IVF_KNN = SQL_EMBEDDING_KNN_TOP1  # full probe == exact kNN
+
+
 def q_events_rollup(spark, sf_dir):
     return (
         load(spark, sf_dir, "events")
@@ -1047,8 +1070,7 @@ def q_adjlist_roundtrip(spark, sf_dir):
     and return the edge table — which must equal the direct derivation.
     The text round-trip exercises comment filtering, per-row degree
     slicing, and the deterministic weight assignment."""
-    import tempfile
-
+    from fog_spark.engine import fs
     from fog_spark.sources.edgelist import read_adjlist
 
     edges = cooccur_edges(spark, sf_dir)
@@ -1064,7 +1086,7 @@ def q_adjlist_roundtrip(spark, sf_dir):
             ).alias("value")
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="fogspark_adjlist_")
+    out_dir = fs.scratch_dir(spark, "adjlist")
     header = spark.createDataFrame([("# fog_spark adjlist roundtrip",)], ["value"])
     header.unionByName(lines).coalesce(8).write.mode("overwrite").text(out_dir)
     return read_adjlist(spark, out_dir)
@@ -1172,13 +1194,12 @@ def q_pagerank_resume_k3(spark, sf_dir):
     step-2 parquet snapshot and runs step 3. The result must match the
     same 3-round recurrence computed without any checkpointing — the
     oracle is identical to pagerank_fog_k3's."""
-    import tempfile
-
     from fog_spark.algorithms.pagerank import pagerank_fog
+    from fog_spark.engine import fs
     from fog_spark.engine.checkpoint import RunContext
 
     edges = cooccur_edges(spark, sf_dir).persist()
-    run_dir = tempfile.mkdtemp(prefix="fogspark_resume_")
+    run_dir = fs.scratch_dir(spark, "resume")
     ctx1 = RunContext(spark, run_dir, "pr", collect_lineage=False)
     pagerank_fog(edges, niters=2, ctx=ctx1)  # "crash" after superstep 2
     ctx2 = RunContext(spark, run_dir, "pr", collect_lineage=False)
@@ -1193,11 +1214,10 @@ def q_stream_degrees(spark, sf_dir):
     co-occurrence edge table through the file-source stream +
     foreachBatch delta publishes (streaming/ingest.incremental_degrees),
     then fold the delta partitions — must equal the batch out_degrees."""
-    import tempfile
-
+    from fog_spark.engine import fs
     from fog_spark.streaming.ingest import incremental_degrees, read_degrees, stream_edges
 
-    work = tempfile.mkdtemp(prefix="fogspark_stream_deg_")
+    work = fs.scratch_dir(spark, "stream_deg")
     inp = f"{work}/edges_in"
     cooccur_edges(spark, sf_dir).write.mode("overwrite").parquet(inp)
     incremental_degrees(
@@ -1213,14 +1233,14 @@ def q_stream_sessions(spark, sf_dir):
     events table, run availableNow to completion. Session semantics:
     a gap >= 30min starts a new session (Spark merges windows that
     OVERLAP, i.e. next_ts - prev_ts < gap extends the session)."""
-    import tempfile
     import uuid
 
+    from fog_spark.engine import fs
     from fog_spark.streaming.ingest import stream_event_sessions
 
     # file-source streams read directories: stage the events table into
     # one (a distributed Spark write, not a driver-side copy)
-    inp = tempfile.mkdtemp(prefix="fogspark_stream_ev_") + "/in"
+    inp = fs.scratch_dir(spark, "stream_ev") + "/in"
     load(spark, sf_dir, "events").write.mode("overwrite").parquet(inp)
     stream = spark.readStream.schema(
         "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
@@ -1287,7 +1307,11 @@ verts AS (SELECT DISTINCT src AS id FROM sym),
 r AS (
   SELECT id, id AS comp FROM verts
   UNION
+  -- prune: a label relayed through a node w < comp can never be any
+  -- downstream node's min (w's own smaller label follows the same
+  -- path), so only comp < dst rows matter — 4x less closure state
   SELECT s.dst AS id, r.comp FROM r JOIN sym s ON s.src = r.id
+  WHERE r.comp < s.dst
 )
 SELECT id, min(comp) AS component FROM r GROUP BY id
 """
@@ -1302,12 +1326,12 @@ def q_stream_user_stats(spark, sf_dir):
     availableNow. The final state per user equals the batch aggregate —
     the sink is folded by max(n) since update mode may emit a row per
     micro-batch and n is monotone."""
-    import tempfile
     import uuid
 
+    from fog_spark.engine import fs
     from fog_spark.streaming.ingest import stream_running_user_stats
 
-    inp = tempfile.mkdtemp(prefix="fogspark_stream_us_") + "/in"
+    inp = fs.scratch_dir(spark, "stream_us") + "/in"
     load(spark, sf_dir, "events").write.mode("overwrite").parquet(inp)
     stream = spark.readStream.schema(
         "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
@@ -1417,6 +1441,7 @@ QUERIES.update(
         "embedding_near_dups": q_embedding_near_dups,
         "cc_converged": q_cc_converged,
         "scc_converged": q_scc_converged,
+        "ivf_knn": q_ivf_knn,
     }
 )
 
@@ -1437,5 +1462,6 @@ ORACLES.update(
         # image_features IS oracled: the decode stub is closed-form
         # (md5 bytes tiled over pixels), so DuckDB reproduces mean luma.
         "image_features": SQL_IMAGE_FEATURES,
+        "ivf_knn": SQL_IVF_KNN,
     }
 )
