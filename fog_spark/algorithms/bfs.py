@@ -19,6 +19,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    prepare_gather_edges,
     vertices_of,
     with_frontier_hint,
 )
@@ -64,6 +65,9 @@ def bfs_levels(
         state = materialize(state, ctx, 0)
     n_vertices = state.count()
     active = state.filter("changed").count() if start_step else 1
+    # gather-aligned edge cache (superstep.prepare_gather_edges): zero
+    # shuffle exchanges per superstep in the broadcast-state regime
+    fwd = prepare_gather_edges(fwd, n_vertices, salted)
 
     for step in range(start_step + 1, max_iters + 1):
         if active == 0:
@@ -94,6 +98,7 @@ def bfs_levels(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
+    fwd.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "level")

@@ -34,6 +34,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    prepare_gather_edges,
     symmetrize,
     vertices_of,
     with_frontier_hint,
@@ -71,6 +72,9 @@ def connected_components(
         state = materialize(state, ctx, 0)
     n_vertices = state.count()
     active = state.filter("changed").count() if start_step else n_vertices
+    # gather-aligned edge cache: zero shuffle exchanges per superstep in
+    # the broadcast-state regime (superstep.prepare_gather_edges)
+    sym = prepare_gather_edges(sym, n_vertices, salted)
 
     for step in range(start_step + 1, max_iters + 1):
         if active == 0:
@@ -102,6 +106,7 @@ def connected_components(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
+    sym.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", F.col("comp").alias("component"))

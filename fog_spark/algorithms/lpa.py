@@ -32,6 +32,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    prepare_gather_edges,
     symmetrize,
     vertices_of,
 )
@@ -47,16 +48,18 @@ def label_propagation(
 ) -> DataFrame:
     """Returns (id, label). Isolated vertices keep their own id."""
     vertices = vertices if vertices is not None else vertices_of(edges)
-    # mode counts must not double-count duplicate (src,dst) pairs
-    sym = symmetrize(edges).distinct()
+    # mode counts must not double-count duplicate (src,dst) pairs.
+    # The distinct is a full shuffle — cache it so the hub probe and the
+    # aligned re-partition below read it once, not recompute it each.
+    sym0 = symmetrize(edges).distinct().persist()
+    sym = sym0
 
     salted = False
     if hub_threshold is not None:
-        hubs = top_degree_keys(sym, "dst", hub_threshold)
+        hubs = top_degree_keys(sym0, "dst", hub_threshold)
         salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
-            sym = tag_hubs(sym, hubs)
-    sym = sym.persist()
+            sym = tag_hubs(sym0, hubs)
 
     state = vertices.select("id", F.col("id").alias("label"))
     start_step = 0
@@ -67,11 +70,18 @@ def label_propagation(
             state = state.select("id", "label")
             last = ctx.last_committed() or {}
             if last.get("active") == 0:  # already at fixed point
-                sym.unpersist()
+                sym0.unpersist()
                 return state
     if start_step == 0:
         state = materialize(state, ctx, 0)
     n = state.count()
+    # gather-aligned cache: with broadcast state both mode aggregations
+    # reuse hash(dst) — zero exchanges per superstep (see
+    # superstep.prepare_gather_edges; the LPA composite (dst,label) key
+    # shuffles near-|E| partials otherwise, the worst case of the folds)
+    sym = prepare_gather_edges(sym, n, salted)
+    sym.count()  # materialize from the sym0 cache, then drop it
+    sym0.unpersist()
 
     for step in range(start_step + 1, max_iters + 1):
         t0 = time.time()

@@ -45,7 +45,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
-from fog_spark.engine.superstep import materialize, materialize_observed, maybe_broadcast, vertices_of
+from fog_spark.engine.superstep import (
+    materialize,
+    materialize_observed,
+    maybe_broadcast,
+    prepare_gather_edges,
+    vertices_of,
+)
 
 DAMPING = 0.85  # application/pagerank.hpp:22
 
@@ -116,6 +122,10 @@ def pagerank_fog(
         # round-trip (and briefly delete) the only committed snapshot
         state = materialize(state, ctx, 0)
     n = state.count()  # known once; drives broadcast decisions every superstep
+    if kernel != "csr":
+        # gather-aligned edge cache (superstep.prepare_gather_edges):
+        # zero shuffle exchanges per superstep when the state broadcasts
+        edges = prepare_gather_edges(edges, n, salted)
 
     for step in range(start_step + 1, niters + 1):
         t0 = time.time()
@@ -147,6 +157,8 @@ def pagerank_fog(
 
     if kernel == "csr":
         packed.unpersist()
+    else:
+        edges.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "rank")
@@ -194,6 +206,8 @@ def pagerank_standard(
     if start_it == 0:
         state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
     edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+    # gather-aligned edge cache — see pagerank_fog
+    edges = prepare_gather_edges(edges, n, salted)
 
     # scalar pass: dangling mass of the current rank vector
     dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -235,6 +249,7 @@ def pagerank_standard(
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:
             break
+    edges.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "rank"), it

@@ -58,6 +58,34 @@ def prepare_edges(edges: DataFrame, key: str = "src", partitions: int | None = N
     return out
 
 
+def prepare_gather_edges(
+    edges: DataFrame, n_state: int | None, salted: bool = False, partitions: int | None = None
+) -> DataFrame:
+    """Partition the (already tagged) edge table ONCE for a superstep
+    loop, choosing the alignment by regime:
+
+    - **broadcast-state, unsalted** (n_state <= BROADCAST_STATE_MAX):
+      hash by the GATHER key ``dst``. The scatter join broadcasts the
+      state, so its output keeps this partitioning, and hash(dst)
+      satisfies the clustering required by groupBy(dst, ...) AND any
+      follow-up groupBy(dst) — the whole superstep runs with ZERO
+      shuffle exchanges (measured 3x per-superstep on LPA at sf0.1).
+    - **salted or big-state**: hash by the SCATTER key ``src`` (the
+      prepare_edges bucketing analogue): the per-superstep sort-merge
+      join re-uses the cached exchange and only moves the state side.
+      Salted gathers must NOT be dst-aligned — reusing a hash(dst)
+      partitioning would put every salt bucket of a hub back on one
+      partition, neutralizing the salt.
+
+    Caller owns the returned cache (unpersist when the loop ends).
+    """
+    spark = edges.sparkSession
+    n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    broadcastable = n_state is not None and 0 <= n_state <= BROADCAST_STATE_MAX
+    key = "dst" if (broadcastable and not salted) else "src"
+    return edges.repartition(n, key).persist()
+
+
 def vertices_of(edges: DataFrame) -> DataFrame:
     """Distinct vertex ids appearing on either side of any edge."""
     return (
