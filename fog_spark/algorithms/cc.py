@@ -74,7 +74,9 @@ def connected_components(
     active = state.filter("changed").count() if start_step else n_vertices
     # gather-aligned edge cache: zero shuffle exchanges per superstep in
     # the broadcast-state regime (superstep.prepare_gather_edges)
-    sym = prepare_gather_edges(sym, n_vertices, salted)
+    prepared = prepare_gather_edges(sym, n_vertices, salted)
+    owned_cache = prepared is not sym
+    sym = prepared
 
     for step in range(start_step + 1, max_iters + 1):
         if active == 0:
@@ -106,7 +108,8 @@ def connected_components(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
-    sym.unpersist()
+    if owned_cache:
+        sym.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", F.col("comp").alias("component"))

@@ -79,9 +79,12 @@ def label_propagation(
     # reuse hash(dst) — zero exchanges per superstep (see
     # superstep.prepare_gather_edges; the LPA composite (dst,label) key
     # shuffles near-|E| partials otherwise, the worst case of the folds)
-    sym = prepare_gather_edges(sym, n, salted)
-    sym.count()  # materialize from the sym0 cache, then drop it
-    sym0.unpersist()
+    prepared = prepare_gather_edges(sym, n, salted)
+    if prepared is not sym:  # new aligned cache: materialize it off sym0's
+        sym = prepared
+        sym.count()
+        sym0.unpersist()
+    # else (salted): the loop keeps reading through sym0's cache
 
     for step in range(start_step + 1, max_iters + 1):
         t0 = time.time()
@@ -112,4 +115,5 @@ def label_propagation(
             break
 
     sym.unpersist()
+    sym0.unpersist()  # no-op when already dropped above
     return state.select("id", "label")

@@ -124,8 +124,15 @@ def pagerank_fog(
     n = state.count()  # known once; drives broadcast decisions every superstep
     if kernel != "csr":
         # gather-aligned edge cache (superstep.prepare_gather_edges):
-        # zero shuffle exchanges per superstep when the state broadcasts
-        edges = prepare_gather_edges(edges, n, salted)
+        # zero shuffle exchanges per superstep when the state broadcasts.
+        # |E| = sum(outdeg) — a tiny agg over the materialized state —
+        # feeds the amortization guard for this fixed-niters run.
+        m = int(state.agg(F.sum("outdeg")).collect()[0][0] or 0)
+        prepared = prepare_gather_edges(
+            edges, n, salted, m_edges=m, expected_iters=niters - start_step
+        )
+        owned_cache = prepared is not edges
+        edges = prepared
 
     for step in range(start_step + 1, niters + 1):
         t0 = time.time()
@@ -157,7 +164,7 @@ def pagerank_fog(
 
     if kernel == "csr":
         packed.unpersist()
-    else:
+    elif owned_cache:
         edges.unpersist()
     if hubs is not None:
         hubs.unpersist()
@@ -206,8 +213,11 @@ def pagerank_standard(
     if start_it == 0:
         state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
     edges, salted, hubs = _hub_tagged(edges, hub_threshold)
-    # gather-aligned edge cache — see pagerank_fog
-    edges = prepare_gather_edges(edges, n, salted)
+    # gather-aligned edge cache — see pagerank_fog (convergent run:
+    # iteration budget unknown, assume enough supersteps to amortize)
+    prepared = prepare_gather_edges(edges, n, salted)
+    owned_cache = prepared is not edges
+    edges = prepared
 
     # scalar pass: dangling mass of the current rank vector
     dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -249,7 +259,8 @@ def pagerank_standard(
             ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
         if delta < tol:
             break
-    edges.unpersist()
+    if owned_cache:
+        edges.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "rank"), it

@@ -71,7 +71,9 @@ def sssp(
     active = state.filter("changed").count() if start_step else 1
     # gather-aligned edge cache (superstep.prepare_gather_edges): zero
     # shuffle exchanges per superstep in the broadcast-state regime
-    fwd = prepare_gather_edges(fwd, n_vertices, salted)
+    prepared = prepare_gather_edges(fwd, n_vertices, salted)
+    owned_cache = prepared is not fwd
+    fwd = prepared
 
     for step in range(start_step + 1, max_iters + 1):
         if active == 0:
@@ -109,7 +111,8 @@ def sssp(
         if ctx is not None:
             ctx.commit(step, active=active, delta=None, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
 
-    fwd.unpersist()
+    if owned_cache:
+        fwd.unpersist()
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "dist", "pred")

@@ -61,6 +61,41 @@ class FakeDecoder:
         return np.tile(digest, -(-n // 16))[:n].reshape(h, w, 3)
 
 
+class PillowDecoder:
+    """Real image decode via Pillow, when the library is present.
+
+    Same interface as FakeDecoder: decode(payload, h, w) -> (h, w, 3)
+    uint8. The h/w arguments are the TARGET shape from the metadata
+    struct (the real image is resized to match), so downstream feature
+    math is identical whichever decoder runs.
+    """
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import PIL  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @staticmethod
+    def decode(payload: bytes, h: int, w: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB").resize((w, h))
+        return np.asarray(img, dtype=np.uint8)
+
+
+def default_decoder():
+    """PillowDecoder when the container has Pillow, else the documented
+    closed-form stub. Resolved INSIDE the executor-side kernel, so the
+    driver never needs the media lib installed."""
+    return PillowDecoder if PillowDecoder.available() else FakeDecoder
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -70,19 +105,27 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def image_features(media: DataFrame, resize_to: int = 8) -> DataFrame:
-    """Per-image features via mapInPandas: decode (stub) -> resize ->
-    8x8 luma grid feature + mean luminance. Arrow-batched; the numpy
-    body processes the whole batch with no per-row Python beyond the
-    decode call itself (IO-bound in real use)."""
+def image_features(media: DataFrame, resize_to: int = 8, decoder=None) -> DataFrame:
+    """Per-image features via mapInPandas: decode -> resize -> 8x8 luma
+    grid feature + mean luminance. Arrow-batched; the numpy body
+    processes the whole batch with no per-row Python beyond the decode
+    call itself (IO-bound in real use).
+
+    ``decoder``: any object with decode(payload, h, w) -> (h, w, 3)
+    uint8. Default: PillowDecoder when Pillow is importable on the
+    executors, else the closed-form FakeDecoder stub (this container
+    ships no media libs). The seam is resolved inside the kernel, so a
+    cluster with Pillow installed gets real decode with zero code
+    change."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder if decoder is not None else default_decoder()
         for pdf in batches:
             ids, lumas, feats = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 h = int(meta["height"] or 32)
                 w = int(meta["width"] or 32)
-                img = FakeDecoder.decode(payload, h, w).astype(np.int64)
+                img = dec.decode(payload, h, w).astype(np.int64)
                 # integer-scaled BT.601 luma (x1000): the per-image mean is
                 # then ONE exact int/int double division, bit-identical to
                 # what an external SQL oracle computes from the same ints.
@@ -109,16 +152,26 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """Audio stub: deterministic pseudo-waveform stats per clip."""
+def audio_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Per-clip pseudo-waveform stats (decode stub; same seam as
+    image_features). Mean and population std are computed from exact
+    integer sums — mean = s/n, std = sqrt(n*ssq - s^2)/n — so one float
+    division / sqrt each, bit-identical to an external SQL oracle fed
+    the same integers."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder if decoder is not None else default_decoder()
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 sr = int(meta["sample_rate"] or 16000)
-                wave = FakeDecoder.decode(payload, 1, min(sr, 4096))[0, :, 0].astype(np.float64)
-                rows.append((mid, float(wave.mean()), float(wave.std())))
+                n = min(sr, 4096)
+                wave = dec.decode(payload, 1, n)[0, :, 0].astype(np.int64)
+                s = int(wave.sum())
+                ssq = int((wave * wave).sum())
+                mean = float(s) / n
+                std = float(np.sqrt(float(n * ssq - s * s))) / n
+                rows.append((mid, mean, std))
             yield pd.DataFrame(rows, columns=["media_id", "wave_mean", "wave_std"])
 
     schema = T.StructType(

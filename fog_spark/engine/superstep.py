@@ -59,7 +59,12 @@ def prepare_edges(edges: DataFrame, key: str = "src", partitions: int | None = N
 
 
 def prepare_gather_edges(
-    edges: DataFrame, n_state: int | None, salted: bool = False, partitions: int | None = None
+    edges: DataFrame,
+    n_state: int | None,
+    salted: bool = False,
+    partitions: int | None = None,
+    m_edges: int | None = None,
+    expected_iters: int | None = None,
 ) -> DataFrame:
     """Partition the (already tagged) edge table ONCE for a superstep
     loop, choosing the alignment by regime:
@@ -70,20 +75,39 @@ def prepare_gather_edges(
       satisfies the clustering required by groupBy(dst, ...) AND any
       follow-up groupBy(dst) — the whole superstep runs with ZERO
       shuffle exchanges (measured 3x per-superstep on LPA at sf0.1).
-    - **salted or big-state**: hash by the SCATTER key ``src`` (the
-      prepare_edges bucketing analogue): the per-superstep sort-merge
-      join re-uses the cached exchange and only moves the state side.
-      Salted gathers must NOT be dst-aligned — reusing a hash(dst)
-      partitioning would put every salt bucket of a hub back on one
-      partition, neutralizing the salt.
+    - **salted, big-state, or unamortizable**: return the input
+      UNCHANGED — the scatter join broadcasts the state (or shuffles it
+      to the edges), exactly the pre-alignment plan. Salted gathers
+      must NOT be dst-aligned — reusing a hash(dst) partitioning would
+      put every salt bucket of a hub back on one partition,
+      neutralizing the salt. (Callers that want src-bucketing for the
+      big-state sort-merge regime call ``prepare_edges`` themselves —
+      re-exchanging an input the caller may already have partitioned
+      would pay |E| for nothing.)
 
-    Caller owns the returned cache (unpersist when the loop ends).
+    **Amortization guard**: the dst alignment costs one full |E|-row
+    exchange up front, while each superstep it saves only the gather's
+    partial-agg exchange, ~min(|E|, partitions x |V|) rows. When the
+    caller knows both the edge count and the iteration budget (fixed-
+    niters runs), dst-align only if the per-superstep savings cover the
+    upfront exchange; convergent loops (expected_iters None) assume
+    enough supersteps to amortize. Measured both ways: 40M edges /
+    200k vertices / 5 iters loses ~30% dst-aligned; 2.4M edges / 20k
+    vertices / 10 iters wins ~35%.
+
+    When a new cache IS created the caller owns it (unpersist at loop
+    end); test ownership with ``prepared is not edges``.
     """
     spark = edges.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     broadcastable = n_state is not None and 0 <= n_state <= BROADCAST_STATE_MAX
-    key = "dst" if (broadcastable and not salted) else "src"
-    return edges.repartition(n, key).persist()
+    if not broadcastable or salted:
+        return edges
+    if m_edges and expected_iters is not None:
+        per_step_exchange = min(m_edges, n * (n_state or m_edges))
+        if expected_iters * per_step_exchange < m_edges:
+            return edges
+    return edges.repartition(n, "dst").persist()
 
 
 def vertices_of(edges: DataFrame) -> DataFrame:

@@ -1187,6 +1187,50 @@ FROM digests g LEFT JOIN rem USING (media_id)
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio decode -> waveform stats (multimodal op), same closed-form
+    stub story as image_features: the pseudo-waveform is md5 digest
+    bytes tiled over the sample grid, and mean/std are exact-integer
+    computations, so DuckDB reproduces them from md5(text) alone."""
+    from fog_spark.datapipe.multimodal import audio_features
+
+    feats = audio_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.round("wave_mean", 6).alias("wave_mean_r"),
+        F.round("wave_std", 6).alias("wave_std_r"),
+    )
+
+
+# Clip length is min(sample_rate, 4096) = 4096 (media_table sets sr
+# 16000), and 4096 = 256 full 16-sample periods, so the sums collapse:
+# sample k is digest[(3k) % 16] (channel 0 of flattened pixel 3k) and
+# 3k walks the full residue system mod 16 -> s = 256*sum(d),
+# ssq = 256*sum(d^2). std = sqrt(n*ssq - s^2)/n (population), matching
+# the kernel's exact-integer formulation bit for bit.
+SQL_AUDIO_FEATURES = """
+WITH auds AS (
+  SELECT doc_id AS media_id, md5(text) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+),
+bytes AS (
+  SELECT media_id, i,
+         (strpos('0123456789abcdef', substr(hx, 2*i::INT+1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2*i::INT+2, 1)) - 1) AS b
+  FROM auds, range(16) t(i)
+),
+agg AS (
+  SELECT media_id, sum(b)::BIGINT AS sumd, sum(b*b)::BIGINT AS sumsq
+  FROM bytes GROUP BY media_id
+)
+SELECT media_id,
+       round((256 * sumd)::DOUBLE / 4096, 6) AS wave_mean_r,
+       round(sqrt((4096 * 256 * sumsq - (256 * sumd) * (256 * sumd))::DOUBLE)
+             / 4096, 6) AS wave_std_r
+FROM agg
+"""
+
+
 def q_pagerank_resume_k3(spark, sf_dir):
     """Checkpoint/resume made driver-visible (S7/S11 + north_rule
     "resumable from checkpoint"): run 2 FOG-mode supersteps under a
@@ -1442,6 +1486,7 @@ QUERIES.update(
         "cc_converged": q_cc_converged,
         "scc_converged": q_scc_converged,
         "ivf_knn": q_ivf_knn,
+        "audio_features": q_audio_features,
     }
 )
 
@@ -1463,5 +1508,6 @@ ORACLES.update(
         # (md5 bytes tiled over pixels), so DuckDB reproduces mean luma.
         "image_features": SQL_IMAGE_FEATURES,
         "ivf_knn": SQL_IVF_KNN,
+        "audio_features": SQL_AUDIO_FEATURES,
     }
 )

@@ -276,3 +276,34 @@ def test_small_image_and_empty_video(spark):
     feats = image_features(media).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 64
     assert frame_sample(media).count() == 0
+
+
+def test_decoder_seam_swap_in(spark):
+    """The decoder is an injectable seam: a custom decoder (standing in
+    for Pillow on a cluster that has it) flows through the same
+    mapInPandas kernel; without media libs the default resolves to the
+    closed-form stub."""
+    import numpy as np
+
+    from fog_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        FakeDecoder,
+        PillowDecoder,
+        default_decoder,
+        image_features,
+    )
+
+    if not PillowDecoder.available():
+        assert default_decoder() is FakeDecoder  # honest fallback
+
+    class ConstantDecoder:  # all-128 gray image, any shape
+        @staticmethod
+        def decode(payload, h, w):
+            return np.full((h, w, 3), 128, dtype=np.uint8)
+
+    rows = [(0, "image", b"x", {"width": 8, "height": 8, "sample_rate": None, "n_frames": None})]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = image_features(media, decoder=ConstantDecoder).collect()[0]
+    assert got["mean_luma"] == 128.0  # (299+587+114)*128/1000 exactly
+    stub = image_features(media).collect()[0]
+    assert stub["mean_luma"] != 128.0  # default path used the md5 stub
