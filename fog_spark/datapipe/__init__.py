@@ -1,6 +1,7 @@
 from fog_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_candidates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_dups,

@@ -221,3 +221,30 @@ def simhash_pairs_from_sigs(sig: DataFrame, n_segments: int = 4, max_hamming: in
         .where(F.col("hamming") <= max_hamming)
         .distinct()  # a pair can agree on several segments; ids+hamming only
     )
+
+
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, cluster_id, is_canonical): duplicate CLUSTERS from verified
+    near-dup pairs — the canonical-selection step of a dedup pipeline.
+
+    Near-duplication is not transitive pair-by-pair, but dedup must act
+    on whole groups (a-b and b-c dup => keep ONE of {a,b,c}), so the
+    verified pair graph is closed into connected components
+    (algorithms/cc.connected_components — the same frontier-scheduled
+    hash-min engine the graph queries use). cluster_id = min doc id of
+    the component; the canonical representative is that doc; documents
+    with no near-dup partner form singleton clusters (cc keeps isolated
+    vertices). Filtering `is_canonical` yields the deduplicated corpus;
+    at scale the pairs input comes from the LSH shortlist
+    (minhash_lsh_candidates -> ngram_jaccard_pairs(candidates=...)),
+    so every stage is bucketed — no all-pairs anywhere."""
+    from fog_spark.algorithms.cc import connected_components
+
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    vertices = docs.select(F.col(id_col).alias("id"))
+    comp = connected_components(edges, vertices=vertices)
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -545,6 +545,47 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the verified
+    token-Jaccard pair graph (datapipe/dedup.near_dup_clusters) — the
+    canonical-selection step of a dedup pipeline (a-b and b-c dup =>
+    keep one of {a,b,c}), composing the dedup family with the same
+    frontier-scheduled hash-min CC engine the graph queries use."""
+    from fog_spark.datapipe.dedup import near_dup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = q_token_jaccard_pairs(spark, sf_dir).select("a_id", "b_id")
+    out = near_dup_clusters(docs, pairs)
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("int").alias("canon")
+    )
+
+
+# CC over the pair graph in SQL: same recursive min-label with the
+# relay-node pruning as SQL_CC_CONVERGED; AS MATERIALIZED stops DuckDB
+# from inlining (= recomputing) the shared pair CTEs per reference.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {TOKENS_CTE}, d AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM toks),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+common AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+pairs AS MATERIALIZED (
+  SELECT common.a, common.b
+  FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+  WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+r AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT s.dst AS id, r.comp FROM r JOIN sym s ON s.src = r.id
+  WHERE r.comp < s.dst
+),
+cc AS (SELECT id, min(comp) AS cluster_id FROM r GROUP BY id)
+SELECT id AS doc_id, cluster_id, (id = cluster_id)::INT AS canon FROM cc
+"""
+
+
 def q_embedding_knn_top1(spark, sf_dir):
     """Brute-force cosine nearest neighbor (similarity-search baseline).
 
@@ -1487,6 +1528,7 @@ QUERIES.update(
         "scc_converged": q_scc_converged,
         "ivf_knn": q_ivf_knn,
         "audio_features": q_audio_features,
+        "dedup_clusters": q_dedup_clusters,
     }
 )
 
@@ -1509,5 +1551,6 @@ ORACLES.update(
         "image_features": SQL_IMAGE_FEATURES,
         "ivf_knn": SQL_IVF_KNN,
         "audio_features": SQL_AUDIO_FEATURES,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
     }
 )

@@ -307,3 +307,19 @@ def test_decoder_seam_swap_in(spark):
     assert got["mean_luma"] == 128.0  # (299+587+114)*128/1000 exactly
     stub = image_features(media).collect()[0]
     assert stub["mean_luma"] != 128.0  # default path used the md5 stub
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Dedup must act on closed groups: a~b and b~c (even when a!~c)
+    land in ONE cluster with one canonical; loners stay singletons."""
+    import pandas as pd
+
+    from fog_spark.datapipe.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["a", "b", "c", "d"]})
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"a_id": [0, 1], "b_id": [1, 2]}))
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
