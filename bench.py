@@ -71,6 +71,14 @@ def main() -> None:
             one()
         if len(runs) >= 2 and max(runs) > 1.5 * min(runs):
             one()
+        # steal-episode defense: if even the BEST run saw >3% steal, the
+        # number measures the hypervisor, not the engine — buy up to two
+        # more attempts hoping to land in a quiet window (all runs and
+        # their steal%% stay recorded either way)
+        retries = 0
+        while retries < 2 and extra["steal_pct"][name][runs.index(min(runs))] > 3.0:
+            one()
+            retries += 1
         timings[name] = min(runs)
         extra["runs"][name] = runs
         return out
