@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", "-o", default=None, help="output parquet dir (default: print top 100)")
     p.add_argument("--run-dir", default=None, help="checkpoint dir: enables mid-run resume")
     p.add_argument("--run-id", default="run0")
+    p.add_argument(
+        "--keep-last", type=int, default=None, metavar="K",
+        help="checkpoint retention: vacuum snapshots older than the newest "
+             "K supersteps after each commit (never the resume point); "
+             "default keeps full history",
+    )
     p.add_argument("--cpus", "-p", type=int, default=None, help="local parallelism (FOG's -p)")
     return p
 
@@ -122,7 +128,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.run_dir:
         from fog_spark.engine.checkpoint import RunContext
 
-        ctx = RunContext(spark, args.run_dir, args.run_id)
+        ctx = RunContext(spark, args.run_dir, args.run_id, keep_last=args.keep_last)
     edges, vertices = _load_edges(spark, args.graph, args.format)
     out = _run_app(args, edges, vertices, ctx)
     if args.out:

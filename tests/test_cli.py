@@ -46,3 +46,19 @@ def test_cli_cc_with_resume_dir(spark, tmp_path):
     from fog_spark.engine.checkpoint import RunContext
 
     assert RunContext(spark, str(tmp_path / "ckpt"), "run0").resume_point() is not None
+
+
+def test_cli_keep_last_vacuums(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    rc = main(
+        ["--graph", _write_edgelist(tmp_path, g), "--app", "pagerank",
+         "--niters", "5", "--out", str(tmp_path / "r"),
+         "--run-dir", str(tmp_path / "ck"), "--keep-last", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    from fog_spark.engine import fs
+
+    kept = sorted(n for n in fs.list_names(spark, str(tmp_path / "ck" / "run0" / "state"))
+                  if n[5:].isdigit())
+    assert kept == ["step=00004", "step=00005"]
