@@ -91,3 +91,44 @@ def test_whole_stage_codegen_covers_superstep(spark):
         agg.explain("codegen")
     out = buf.getvalue()
     assert "WholeStageCodegen" in out and "Found 0" not in out.split("\n")[1]
+
+
+def test_gather_aligned_superstep_has_zero_shuffle_exchanges(spark):
+    """prepare_gather_edges contract: with a dst-partitioned edge cache
+    and broadcast state, the ENTIRE superstep — scatter join, the
+    (dst,label) count, the per-dst argmax — reuses hash(dst) and plans
+    NO shuffle exchange (BroadcastExchange for the state is fine)."""
+    from fog_spark.engine.superstep import prepare_gather_edges
+
+    edges = cooccur_edges(spark, SF)
+    sym = prepare_gather_edges(edges, n_state=10)  # tiny state -> dst-aligned
+    assert sym is not edges
+    sym.count()  # materialize the cache: the plan below starts at the scan
+    state = spark.range(100).select(
+        F.col("id"), F.col("id").alias("label")).localCheckpoint(eager=True)
+    msgs = sym.join(F.broadcast(state), sym["src"] == state["id"]).select(
+        sym["dst"], F.col("label"))
+    counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    best = counts.groupBy("dst").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lbl"))).alias("b"))
+    plan = _plan(best)
+    above_cache = plan.split("InMemoryTableScan")[0]
+    shuffles = [l for l in above_cache.splitlines()
+                if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l]
+    assert not shuffles, f"superstep gained shuffle exchange(s): {shuffles}"
+    assert "BroadcastExchange" in plan  # the state side
+    sym.unpersist()
+
+
+def test_gather_align_declines_unamortizable_and_salted(spark):
+    """The amortization guard and the salt guard return the input
+    UNCHANGED (no wasted |E| re-exchange, no collapsed salt buckets)."""
+    from fog_spark.engine.superstep import prepare_gather_edges
+
+    edges = cooccur_edges(spark, SF)
+    # 3 supersteps cannot amortize a full exchange of 100x-bigger edges
+    assert prepare_gather_edges(
+        edges, n_state=10, m_edges=10_000_000, expected_iters=3, partitions=8
+    ) is edges
+    assert prepare_gather_edges(edges, n_state=10, salted=True) is edges
+    assert prepare_gather_edges(edges, n_state=10**9) is edges  # big state
