@@ -12,6 +12,7 @@ from fog_spark.datapipe.similarity import (  # noqa: F401
     ivf_topk,
     lsh_ann_topk,
 )
+from fog_spark.datapipe.temporal import asof_join  # noqa: F401
 from fog_spark.datapipe.text import (  # noqa: F401
     doc_fingerprints,
     language_id,

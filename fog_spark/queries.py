@@ -545,6 +545,45 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join (custom operator Spark lacks, built from
+    union+window — datapipe/temporal.asof_join): each purchase event
+    picks the user's most recent click at or before it. Oracled by
+    DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+    the same semantics. Right side pre-aggregated to unique (user, ts)
+    so ties are deterministic on both sides."""
+    from fog_spark.datapipe.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    j = asof_join(purchases, clicks, on="user_id")
+    return j.select(
+        "event_id",
+        F.round("value", 4).alias("purchase_value_r"),
+        F.unix_timestamp("ts_r").alias("click_ts_e"),
+        F.round("click_value_r", 4).alias("click_value_r"),
+    )
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id,
+       round(p.value, 4) AS purchase_value_r,
+       floor(epoch(c.ts))::BIGINT AS click_ts_e,
+       round(c.click_value, 4) AS click_value_r
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the verified
     token-Jaccard pair graph (datapipe/dedup.near_dup_clusters) — the
@@ -1529,6 +1568,7 @@ QUERIES.update(
         "ivf_knn": q_ivf_knn,
         "audio_features": q_audio_features,
         "dedup_clusters": q_dedup_clusters,
+        "events_asof_join": q_events_asof_join,
     }
 )
 
@@ -1552,5 +1592,6 @@ ORACLES.update(
         "ivf_knn": SQL_IVF_KNN,
         "audio_features": SQL_AUDIO_FEATURES,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
     }
 )

@@ -323,3 +323,32 @@ def test_near_dup_clusters_transitive(spark):
     got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
            for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive backward match per key, NULL when nothing precedes,
+    tolerance nulls stale matches (pandas merge_asof semantics)."""
+    import pandas as pd
+
+    from fog_spark.datapipe.temporal import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:10",
+                              "2024-01-01 00:00:02", "2024-01-01 00:00:10"]),
+        "lv": [50.0, 100.0, 20.0, 9.0],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:03",
+                              "2024-01-01 00:00:09"]),
+        "rv": [7.0, 3.0, 4.0],
+    }))
+    got = {(r["k"], r["lv"]): r["rv_r"] for r in asof_join(left, right, on="k").collect()}
+    # 00:05 matches the equal-ts right row (inclusive); 00:02 has no prior
+    assert got == {(1, 50.0): 7.0, (1, 100.0): 7.0, (1, 20.0): None, (2, 9.0): 4.0}
+
+    tol = {(r["k"], r["lv"]): r["rv_r"]
+           for r in asof_join(left, right, on="k", tolerance_s=2).collect()}
+    # the 00:10 purchase's latest click is 00:05 — 5s stale, nulled at tol=2
+    assert tol == {(1, 50.0): 7.0, (1, 100.0): None, (1, 20.0): None, (2, 9.0): 4.0}
