@@ -94,3 +94,48 @@ def test_salted_algorithms_property(spark, pairs, threshold, n_salts):
         for r in pagerank_fog(edges, vertices, niters=3, hub_threshold=threshold, n_salts=n_salts).collect()
     }
     assert np.allclose([salted_pr[i] for i in range(N)], [plain_pr[i] for i in range(N)], rtol=1e-9)
+
+
+asof_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+    min_size=1, max_size=30,
+)
+
+
+@SET
+@given(left=asof_events, right=asof_events, tol=st.one_of(st.none(), st.integers(0, 20)))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
+    """asof_join vs pandas.merge_asof — a third independent
+    implementation (the driver query already checks DuckDB's ASOF).
+    Right side deduped to unique (key, ts): ties there are explicitly
+    unspecified."""
+    import pandas as pd
+
+    from fog_spark.datapipe.temporal import asof_join
+
+    lp = pd.DataFrame(left, columns=["k", "t", "lv"]).astype("int64")
+    rp = (pd.DataFrame(right, columns=["k", "t", "rv"]).astype("int64")
+          .groupby(["k", "t"], as_index=False)["rv"].max())
+    lp["ts"] = pd.to_datetime(lp["t"], unit="s")
+    rp["ts"] = pd.to_datetime(rp["t"], unit="s")
+
+    got = asof_join(
+        spark.createDataFrame(lp[["k", "ts", "lv"]]),
+        spark.createDataFrame(rp[["k", "ts", "rv"]]),
+        on="k", tolerance_s=tol,
+    ).collect()
+
+    exp = pd.merge_asof(
+        lp.sort_values(["ts", "lv"]), rp.sort_values("ts"),
+        on="ts", by="k", suffixes=("", "_r"),
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    exp_counts: dict = {}
+    for _, row in exp.iterrows():
+        key = (row["k"], row["lv"], None if pd.isna(row["rv"]) else int(row["rv"]))
+        exp_counts[key] = exp_counts.get(key, 0) + 1
+    got_counts: dict = {}
+    for r in got:
+        key = (r["k"], r["lv"], r["rv_r"])
+        got_counts[key] = got_counts.get(key, 0) + 1
+    assert got_counts == exp_counts
