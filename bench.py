@@ -74,9 +74,10 @@ def main() -> None:
         # steal-episode defense: if even the BEST run saw >3% steal, the
         # number measures the hypervisor, not the engine — buy up to two
         # more attempts hoping to land in a quiet window (all runs and
-        # their steal%% stay recorded either way)
+        # their steal%% stay recorded either way). Never for single-run
+        # queries: those persist their result, so a re-run times the cache.
         retries = 0
-        while retries < 2 and extra["steal_pct"][name][runs.index(min(runs))] > 3.0:
+        while repeats > 1 and retries < 2 and extra["steal_pct"][name][runs.index(min(runs))] > 3.0:
             one()
             retries += 1
         timings[name] = min(runs)
