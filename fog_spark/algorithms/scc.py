@@ -121,19 +121,30 @@ def strongly_connected_components(
         rev_same = materialize(
             rev.join(lbl_src, "src").join(lbl_dst, "dst").filter("ls = ld").select("src", "dst")
         )
-        conf = fwd.select("id", "lbl", (F.col("id") == F.col("lbl")).alias("confirmed"))
-        conf, om = materialize_observed(conf, [active_metric("confirmed")])
+        conf = fwd.select(
+            "id", "lbl",
+            (F.col("id") == F.col("lbl")).alias("confirmed"),
+            (F.col("id") == F.col("lbl")).alias("is_new"),
+        )
+        conf, om = materialize_observed(conf, [active_metric("is_new")])
         frontier_n = int(om["active"] or 0)
-        newly = conf.filter("confirmed")
         while frontier_n > 0:
-            fr = with_frontier_hint(newly.select(F.col("id").alias("src")), frontier_n)
+            # ONE materialized job per wave: the next frontier (is_new)
+            # and its size ride the same frame/observation as the
+            # confirmed update, instead of a second count job
+            fr = with_frontier_hint(
+                conf.filter("is_new").select(F.col("id").alias("src")), frontier_n
+            )
             reached = rev_same.join(fr, "src", "left_semi").select(F.col("dst").alias("id")).distinct()
-            nxt = conf.join(reached, "id", "left_semi").filter(~F.col("confirmed"))
             conf = conf.join(
-                nxt.select("id", F.lit(True).alias("c2")), "id", "left"
-            ).select("id", "lbl", (F.col("confirmed") | F.coalesce("c2", F.lit(False))).alias("confirmed"))
-            conf = materialize(conf)
-            newly, frontier_n = _mat_count(nxt.select("id", "lbl", F.lit(True).alias("confirmed")))
+                reached.withColumn("c2", F.lit(True)), "id", "left"
+            ).select(
+                "id", "lbl",
+                (F.col("confirmed") | F.coalesce("c2", F.lit(False))).alias("confirmed"),
+                (~F.col("confirmed") & F.coalesce("c2", F.lit(False))).alias("is_new"),
+            )
+            conf, om = materialize_observed(conf, [active_metric("is_new")])
+            frontier_n = int(om["active"] or 0)
 
         done = conf.filter("confirmed").select("id", F.col("lbl").alias("component"))
         done = materialize(done)
