@@ -6,3 +6,4 @@ from fog_spark.algorithms.lpa import label_propagation  # noqa: F401
 from fog_spark.algorithms.triangles import triangle_counts  # noqa: F401
 from fog_spark.algorithms.spmv import spmv  # noqa: F401
 from fog_spark.algorithms.scc import strongly_connected_components  # noqa: F401
+from fog_spark.algorithms.kcore import k_core  # noqa: F401

@@ -83,6 +83,10 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         from fog_spark.algorithms.triangles import triangle_counts
 
         return triangle_counts(edges, vertices)
+    if args.app == "kcore":
+        from fog_spark.algorithms.kcore import k_core
+
+        return k_core(edges, k=args.k, vertices=vertices)
     if args.app == "spmv":
         from fog_spark.algorithms.spmv import spmv
 
@@ -98,13 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--app", "-a", required=True,
-        choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv"],
+        choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv", "kcore"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
     p.add_argument("--max-iters", type=int, default=10_000)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--root", "-r", type=int, default=0, help="bfs/sssp root (options_utils.h:45-46)")
+    p.add_argument("--k", type=int, default=3, help="kcore: minimum surviving degree")
     p.add_argument("--out", "-o", default=None, help="output parquet dir (default: print top 100)")
     p.add_argument("--run-dir", default=None, help="checkpoint dir: enables mid-run resume")
     p.add_argument("--run-id", default="run0")

@@ -246,3 +246,23 @@ def scc(edges: np.ndarray, n: int) -> np.ndarray:
         for v in c:
             comp[v] = m
     return comp
+
+
+def k_core(edges: np.ndarray, n: int, k: int, rounds: int | None = None) -> dict[int, int]:
+    """{id: degree} after the k-core peel (undirected, dedup, no self
+    loops); ``rounds`` limits the peel depth like algorithms/kcore."""
+    und = {(int(a), int(b)) for a, b in edges if a != b}
+    und |= {(b, a) for a, b in und}
+    alive = set(range(n))
+    m = 0
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        survivors = {v: d for v, d in deg.items() if d >= k}
+        m += 1
+        done = m >= rounds if rounds is not None else set(survivors) == alive
+        alive = set(survivors)
+        if done or not alive:
+            return survivors

@@ -545,6 +545,31 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_kcore110_r2(spark, sf_dir):
+    """k-core peel (north-rule link-graph addition, algorithms/kcore),
+    k=110, exactly 2 rounds — convergence-independent like the other
+    fixed-round graph queries; the full fixed point is pytest-oracled
+    (test_k_core_matches_oracle). k=110 makes both rounds bite on this
+    graph: 2000 -> 1203 -> 77 survivors at sf0.01."""
+    from fog_spark.algorithms.kcore import k_core
+
+    edges = cooccur_edges(spark, sf_dir)
+    out = k_core(edges, k=110, rounds=2)
+    return out.select("id", F.col("degree").cast("long").alias("degree"))
+
+
+SQL_KCORE110_R2 = f"""
+WITH {EDGES_CTE},
+sym AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM edges WHERE src <> dst
+        UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+d0 AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+a1 AS (SELECT id FROM d0 WHERE deg >= 110),
+d1 AS (SELECT s.src AS id, count(*) AS deg FROM sym s
+       JOIN a1 x ON s.src = x.id JOIN a1 y ON s.dst = y.id GROUP BY s.src)
+SELECT id, deg::BIGINT AS degree FROM d1 WHERE deg >= 110
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """Point-in-time join (custom operator Spark lacks, built from
     union+window — datapipe/temporal.asof_join): each purchase event
@@ -1569,6 +1594,7 @@ QUERIES.update(
         "audio_features": q_audio_features,
         "dedup_clusters": q_dedup_clusters,
         "events_asof_join": q_events_asof_join,
+        "kcore110_r2": q_kcore110_r2,
     }
 )
 
@@ -1593,5 +1619,6 @@ ORACLES.update(
         "audio_features": SQL_AUDIO_FEATURES,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "kcore110_r2": SQL_KCORE110_R2,
     }
 )

@@ -50,3 +50,21 @@ def test_triangle_per_vertex(spark, name):
     got = _col(triangle_counts(graph_to_spark(spark, g), vertices), "tri_count", g.n)
     assert got == per.tolist()
     assert triangle_total(graph_to_spark(spark, g)) == tot
+
+
+def test_k_core_matches_oracle(spark):
+    """k-core peel (fixed point AND fixed rounds) vs the set-based
+    oracle on the fixture zoo, several k."""
+    from fog_spark.algorithms.kcore import k_core
+    from fog_spark.fixtures import graph_to_spark, named_graphs
+    from fog_spark import oracles
+
+    for gname in ("g_er_n100", "g_two_comp", "g_plaw_n1000"):
+        g = named_graphs()[gname]
+        edges = graph_to_spark(spark, g)
+        vertices = spark.range(g.n).select("id")
+        for k in (1, 2, 3, 5):
+            got = {r["id"]: r["degree"] for r in k_core(edges, k, vertices).collect()}
+            assert got == oracles.k_core(g.edges, g.n, k), (gname, k)
+        got2 = {r["id"]: r["degree"] for r in k_core(edges, 3, vertices, rounds=1).collect()}
+        assert got2 == oracles.k_core(g.edges, g.n, 3, rounds=1), (gname, "r1")
