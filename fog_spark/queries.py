@@ -545,6 +545,50 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+def _hex8_sql(expr: str) -> str:
+    """First 8 md5 hex chars folded to an integer — DuckDB twin of
+    Spark's conv(substring(md5(..),1,8),16,10) in algorithms/walks."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i+1}, 1)) - 1) * {16**(7-i)}"
+        for i in range(8)
+    ) + ")"
+
+
+def q_random_walks_k4(spark, sf_dir):
+    """Deterministic random-walk corpus (algorithms/walks, the
+    DeepWalk/node2vec training-data generator): one 4-step walk per
+    vertex, neighbor picked by md5(walk_id-step-seed) mod outdeg over
+    the dst-ordered indexed adjacency — every hop SQL-replayable."""
+    from fog_spark.algorithms.walks import random_walks
+
+    out = random_walks(cooccur_edges(spark, sf_dir), length=4, seed=42)
+    return out.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )
+
+
+def _sql_random_walks(k: int, seed: int = 42) -> str:
+    steps, prev = [], "W0"
+    for t in range(1, k + 1):
+        h = _hex8_sql(f"md5(w.walk_id::VARCHAR || '-{t}-{seed}')")
+        steps.append(
+            f"W{t} AS (SELECT w.walk_id, {t}::BIGINT AS step, a.dst AS vertex\n"
+            f"  FROM {prev} w JOIN adj a ON a.src = w.vertex AND a.idx = ({h} % a.outdeg))"
+        )
+        prev = f"W{t}"
+    union = " UNION ALL ".join(f"SELECT * FROM W{t}" for t in range(k + 1))
+    return f"""
+WITH {EDGES_CTE},
+ded AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS outdeg FROM ded),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
+{','.join(steps)}
+{union}
+"""
+
+
 def q_kcore110_r2(spark, sf_dir):
     """k-core peel (north-rule link-graph addition, algorithms/kcore),
     k=110, exactly 2 rounds — convergence-independent like the other
@@ -1595,6 +1639,7 @@ QUERIES.update(
         "dedup_clusters": q_dedup_clusters,
         "events_asof_join": q_events_asof_join,
         "kcore110_r2": q_kcore110_r2,
+        "random_walks_k4": q_random_walks_k4,
     }
 )
 
@@ -1620,5 +1665,6 @@ ORACLES.update(
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "kcore110_r2": SQL_KCORE110_R2,
+        "random_walks_k4": _sql_random_walks(4),
     }
 )

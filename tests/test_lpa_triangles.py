@@ -68,3 +68,31 @@ def test_k_core_matches_oracle(spark):
             assert got == oracles.k_core(g.edges, g.n, k), (gname, k)
         got2 = {r["id"]: r["degree"] for r in k_core(edges, 3, vertices, rounds=1).collect()}
         assert got2 == oracles.k_core(g.edges, g.n, 3, rounds=1), (gname, "r1")
+
+
+def test_random_walks_validity_and_determinism(spark):
+    """Every hop follows a real edge, walks stop only at sinks, and the
+    corpus is bit-identical across runs (hash-driven, not RNG)."""
+    import pandas as pd
+
+    from fog_spark.algorithms.walks import random_walks
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (1, 0)]
+    edges = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    eset = set(pairs)
+    rows = random_walks(edges, length=6, seed=7).collect()
+    walks: dict = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(walks) == {0, 1, 2, 3, 4}
+    for wid, path in walks.items():
+        assert path[0] == wid
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in eset  # real edge each hop
+        if max(path) < 6:  # early stop ONLY at the sink (vertex 3)
+            assert path[max(path)] == 3
+    again = sorted((r["walk_id"], r["step"], r["vertex"]) for r in
+                   random_walks(edges, length=6, seed=7).collect())
+    assert again == sorted((r["walk_id"], r["step"], r["vertex"]) for r in rows)
+    diff = random_walks(edges, length=6, seed=8).collect()
+    assert sorted((r["walk_id"], r["step"], r["vertex"]) for r in diff) != again
