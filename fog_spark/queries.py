@@ -589,6 +589,41 @@ W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 """
 
 
+def q_tfidf_top5(spark, sf_dir):
+    """Per-document characteristic terms by smoothed tf-idf (text
+    analysis op, datapipe/text.tfidf_top_terms). Ranking is by the
+    integer tuple (tf desc, df asc, term asc), so the top-k is immune
+    to cross-engine last-ulp log() divergence; the float tfidf column
+    is informational, rounded."""
+    from fog_spark.datapipe.text import tfidf_top_terms
+
+    out = tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf_r"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_TFIDF_TOP5 = f"""
+WITH {TOKENS_CTE},
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+r AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rank
+      FROM tf JOIN df USING (t))
+SELECT doc_id, t AS term, tf, df,
+       round(tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1), 6) AS tfidf_r,
+       rank::BIGINT AS rank
+FROM r, n WHERE rank <= 5
+"""
+
+
 def q_kcore110_r2(spark, sf_dir):
     """k-core peel (north-rule link-graph addition, algorithms/kcore),
     k=110, exactly 2 rounds — convergence-independent like the other
@@ -1640,6 +1675,7 @@ QUERIES.update(
         "events_asof_join": q_events_asof_join,
         "kcore110_r2": q_kcore110_r2,
         "random_walks_k4": q_random_walks_k4,
+        "tfidf_top5": q_tfidf_top5,
     }
 )
 
@@ -1666,5 +1702,6 @@ ORACLES.update(
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "kcore110_r2": SQL_KCORE110_R2,
         "random_walks_k4": _sql_random_walks(4),
+        "tfidf_top5": SQL_TFIDF_TOP5,
     }
 )
