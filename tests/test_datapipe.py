@@ -352,3 +352,29 @@ def test_asof_join_semantics(spark):
            for r in asof_join(left, right, on="k", tolerance_s=2).collect()}
     # the 00:10 purchase's latest click is 00:05 — 5s stale, nulled at tol=2
     assert tol == {(1, 50.0): 7.0, (1, 100.0): None, (1, 20.0): None, (2, 9.0): 4.0}
+
+
+def test_tfidf_top_terms(spark):
+    """Rare terms outrank common ones at equal tf; smoothed idf values."""
+    import math
+
+    import pandas as pd
+
+    from fog_spark.datapipe.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["common rare common", "common other", "common third"],
+    }))
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["term"], r["tf"], r["df"], r["tfidf"]))
+    top0 = sorted(by_doc[0])
+    # doc 0: common has tf=2 -> rank 1 despite df=3; rare (df=1) is rank 2
+    assert [t[1] for t in top0] == ["common", "rare"]
+    rare = top0[1]
+    assert rare[2] == 1 and rare[3] == 1
+    assert abs(rare[4] - (math.log(4 / 2) + 1)) < 1e-12  # ln((3+1)/(1+1)) + 1
+    # doc 1 at equal tf: rarer term first
+    assert [t[1] for t in sorted(by_doc[1])] == ["other", "common"]
