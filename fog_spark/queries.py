@@ -282,6 +282,60 @@ SELECT v.id, coalesce(m.c, 0) AS tri_count
 FROM verts v LEFT JOIN (SELECT id, count(*) AS c FROM member GROUP BY id) m ON v.id = m.id
 """
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient c(v) = 2*tri(v) / (deg(v)*(deg(v)-1))
+    — the classic link-graph cohesion metric, composed from the
+    degree-oriented triangle counts and the dedup'd undirected degree.
+    Integer numerator/denominator, ONE double division — bit-identical
+    to the SQL oracle."""
+    from fog_spark.algorithms.triangles import triangle_counts
+    from fog_spark.engine.superstep import symmetrize
+
+    edges = cooccur_edges(spark, sf_dir)
+    tri = triangle_counts(edges)
+    deg = (
+        symmetrize(edges).distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = tri.join(deg, "id", "left").select(
+        "id",
+        F.coalesce("deg", F.lit(0)).alias("deg"),
+        F.col("tri_count"),
+    )
+    coeff = F.when(
+        F.col("deg") >= 2, (2 * F.col("tri_count")) / (F.col("deg") * (F.col("deg") - 1))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "id",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("tri_count").cast("long").alias("tri_count"),
+        F.round(coeff, 6).alias("coeff_r"),
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+member AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+verts AS (SELECT DISTINCT a AS id FROM und UNION SELECT DISTINCT b FROM und),
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT a AS id FROM und WHERE a <> b
+          UNION ALL SELECT b FROM und WHERE a <> b) GROUP BY id)
+SELECT v.id,
+       coalesce(d.d, 0)::BIGINT AS degree,
+       coalesce(m.c, 0)::BIGINT AS tri_count,
+       round(CASE WHEN coalesce(d.d, 0) >= 2
+                  THEN (2 * coalesce(m.c, 0)) / (d.d * (d.d - 1))
+                  ELSE 0.0 END, 6) AS coeff_r
+FROM verts v
+LEFT JOIN (SELECT id, count(*) AS c FROM member GROUP BY id) m ON v.id = m.id
+LEFT JOIN deg d ON v.id = d.id
+"""
+
+
 BFS_ROUNDS = 4
 BFS_SENTINEL = 4294967295  # application/bfs.hpp:48
 
@@ -1676,6 +1730,7 @@ QUERIES.update(
         "kcore110_r2": q_kcore110_r2,
         "random_walks_k4": q_random_walks_k4,
         "tfidf_top5": q_tfidf_top5,
+        "clustering_coeff": q_clustering_coeff,
     }
 )
 
@@ -1703,5 +1758,6 @@ ORACLES.update(
         "kcore110_r2": SQL_KCORE110_R2,
         "random_walks_k4": _sql_random_walks(4),
         "tfidf_top5": SQL_TFIDF_TOP5,
+        "clustering_coeff": SQL_CLUSTERING_COEFF,
     }
 )
