@@ -12,10 +12,21 @@ Both ingredients are plain SQL, so an external oracle can replay every
 walk exactly — while the statistical properties match a uniform
 neighbor pick (md5 is uniform over the index range).
 
-Plan shape: the adjacency (src, idx, dst, outdeg) is built once (one
-window shuffle); each step is ONE equi-join of the current frontier
-(|walks| rows) against it on (cur, idx) — no gather, no explode of
-whole neighborhoods. Walks stop early at sink vertices (no out-edges).
+Plan shape — a true point lookup per step: the adjacency carries the
+DESTINATION's out-degree (``dst_outdeg``, attached once at build time),
+so the walk frontier always knows its current vertex's out-degree.
+Each step computes ``idx = pmod(hash, outdeg)`` WALK-side and equi-joins
+the adjacency on BOTH keys ``(src, idx)`` — O(|walks|) rows move per
+step, never O(sum outdeg) (a hub with 29M neighbors contributes exactly
+one matched row per walk positioned there, not 29M streamed-and-
+filtered rows). Walks stop early at sink vertices: their ``outdeg`` is
+null, so the pick index is null and the equi-join simply produces no
+row. The adjacency subplan is identical across steps, so Spark's
+exchange reuse materializes its window shuffle once.
+
+Biased (node2vec p,q) walks: see ``node2vec_walks`` below — same
+point-lookup shape, with the previous vertex carried on the frontier
+and a second-order re-weighting resolved per candidate neighborhood.
 """
 
 from __future__ import annotations
@@ -41,6 +52,21 @@ def indexed_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def _adjacency_with_dst_outdeg(adj: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (adj2, deg): ``adj2`` = (src, idx, dst, dst_outdeg) and
+    ``deg`` = (d_id, d_outdeg), one row per non-sink vertex. Attaching
+    the destination's out-degree once is what lets every subsequent
+    step be a pure (src, idx) equi-join with no degree lookup."""
+    deg = adj.where(F.col("idx") == 0).select(
+        F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")
+    )
+    adj2 = (
+        adj.join(deg, adj["dst"] == deg["d_id"], "left")
+        .select("src", "idx", "dst", F.col("d_outdeg").alias("dst_outdeg"))
+    )
+    return adj2, deg
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 4,
@@ -51,7 +77,7 @@ def random_walks(
     """(walk_id, step, vertex): ``walks_per_vertex`` hash-driven walks
     from every vertex, each up to ``length`` steps (ending early at
     sinks). walk_id = start_vertex * walks_per_vertex + replica."""
-    adj = indexed_adjacency(edges)
+    adj2, deg = _adjacency_with_dst_outdeg(indexed_adjacency(edges))
     if vertices is None:
         from fog_spark.engine.superstep import vertices_of
 
@@ -63,20 +89,28 @@ def random_walks(
         F.col("id").alias("vertex"),
     ).select(
         (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"),
-        F.lit(0).alias("step"),
         "vertex",
     )
-    parts = [starts]
-    cur = starts
+    # one degree lookup for step 0 only; afterwards the frontier carries it
+    cur = starts.join(deg, starts["vertex"] == deg["d_id"], "left").select(
+        "walk_id", "vertex", F.col("d_outdeg").alias("outdeg")
+    )
+    parts = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
     for t in range(1, length + 1):
         pick = _hash_idx(F.col("walk_id"), t, seed)
-        nxt = (
-            cur.join(adj, cur["vertex"] == adj["src"])
-            .where(F.pmod(pick, F.col("outdeg")) == F.col("idx"))
-            .select("walk_id", F.lit(t).alias("step"), F.col("dst").alias("vertex"))
+        stepped = cur.select(
+            "walk_id", "vertex", F.pmod(pick, F.col("outdeg")).alias("pick_idx")
         )
-        parts.append(nxt)
-        cur = nxt
+        nxt = stepped.join(
+            adj2,
+            (stepped["vertex"] == adj2["src"]) & (stepped["pick_idx"] == adj2["idx"]),
+        )
+        cur = nxt.select(
+            "walk_id",
+            F.col("dst").alias("vertex"),
+            F.col("dst_outdeg").alias("outdeg"),
+        )
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
     while len(parts) > 1:  # halving unions keep the plan shallow
         parts = [
             parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]

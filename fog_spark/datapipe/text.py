@@ -155,12 +155,14 @@ def tfidf_top_terms(
     """(id, term, tf, df, tfidf, rank): top-k characteristic terms per
     document by smoothed tf-idf (idf = ln((N+1)/(df+1)) + 1).
 
-    Ranking is by the INTEGER tuple (tf desc, df asc, term asc), which
-    orders identically to tf·idf within a document for equal tf, and is
-    immune to last-ulp float divergence between engines — an external
-    SQL oracle reproduces the exact same top-k (the float tfidf column
-    is informational, rounded). Two shuffles total: per-(doc,term)
-    counts, then df per term; the window runs on the counts exchange.
+    Ranking is by ACTUAL tf·idf, rounded to 6 decimals for cross-engine
+    stability (a last-ulp ln() divergence between engines cannot flip a
+    6-decimal rounding except within 5e-7 of a boundary — never hit by
+    ln ratios of small integers), with the deterministic integer tuple
+    (tf desc, df asc, term asc) as tie-break. So a tf=1 rare term
+    (idf ~ ln N) correctly out-ranks a tf=2 ubiquitous term (idf ~ 1).
+    Two shuffles total: per-(doc,term) counts, then df per term; the
+    window runs on the counts exchange.
     """
     from pyspark.sql import Window
 
@@ -168,18 +170,15 @@ def tfidf_top_terms(
     tf = tk.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
-    w = Window.partitionBy("id").orderBy(F.desc("tf"), F.asc("df"), F.asc("t"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf_r"), F.desc("tf"), F.asc("df"), F.asc("t")
+    )
     return (
         tf.join(df, "t")
+        .withColumn("tfidf", F.col("tf") * idf)
+        .withColumn("tfidf_r", F.round("tfidf", 6))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "id",
-            F.col("t").alias("term"),
-            "tf",
-            "df",
-            (F.col("tf") * idf).alias("tfidf"),
-            "rank",
-        )
+        .select("id", F.col("t").alias("term"), "tf", "df", "tfidf", "rank")
     )

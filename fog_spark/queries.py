@@ -645,10 +645,10 @@ W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 
 def q_tfidf_top5(spark, sf_dir):
     """Per-document characteristic terms by smoothed tf-idf (text
-    analysis op, datapipe/text.tfidf_top_terms). Ranking is by the
-    integer tuple (tf desc, df asc, term asc), so the top-k is immune
-    to cross-engine last-ulp log() divergence; the float tfidf column
-    is informational, rounded."""
+    analysis op, datapipe/text.tfidf_top_terms). Ranking is by actual
+    tf*idf rounded to 6 decimals (cross-engine ln()-ulp-stable), with
+    the integer tuple (tf desc, df asc, term asc) as deterministic
+    tie-break."""
     from fog_spark.datapipe.text import tfidf_top_terms
 
     out = tfidf_top_terms(load(spark, sf_dir, "documents"), k=5)
@@ -667,14 +667,14 @@ WITH {TOKENS_CTE},
 tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
 df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
 n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
-r AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
-             row_number() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rank
-      FROM tf JOIN df USING (t))
-SELECT doc_id, t AS term, tf, df,
-       round(tf * (ln((nd + 1)::DOUBLE / (df + 1)) + 1), 6) AS tfidf_r,
-       rank::BIGINT AS rank
-FROM r, n WHERE rank <= 5
+s AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             round(tf.tf * (ln((n.nd + 1)::DOUBLE / (df.df + 1)) + 1), 6) AS tfidf_r
+      FROM tf JOIN df USING (t), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_r DESC, tf DESC, df ASC, t ASC) AS rank
+      FROM s)
+SELECT doc_id, t AS term, tf, df, tfidf_r, rank::BIGINT AS rank
+FROM r WHERE rank <= 5
 """
 
 

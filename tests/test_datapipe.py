@@ -378,3 +378,26 @@ def test_tfidf_top_terms(spark):
     assert abs(rare[4] - (math.log(4 / 2) + 1)) < 1e-12  # ln((3+1)/(1+1)) + 1
     # doc 1 at equal tf: rarer term first
     assert [t[1] for t in sorted(by_doc[1])] == ["other", "common"]
+
+
+def test_tfidf_rare_term_outranks_higher_tf(spark):
+    """Ranking is by actual tf*idf: a tf=1 rare term (idf ~ ln N) must
+    out-rank a tf=2 ubiquitous term (idf = 1) — the case an integer
+    (tf desc) ranking gets wrong. With N=5 docs, 'rare' scores
+    ln(6/2)+1 ~ 2.099 > 2.0 = 2 * (ln(6/6)+1) for 'common'."""
+    import math
+
+    import pandas as pd
+
+    from fog_spark.datapipe.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["common rare common"] + ["common filler%d" % i for i in range(1, 5)],
+    }))
+    rows = [r for r in tfidf_top_terms(docs, k=2).collect() if r["id"] == 0]
+    ranked = [r["term"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked == ["rare", "common"]
+    scores = {r["term"]: r["tfidf"] for r in rows}
+    assert abs(scores["rare"] - (math.log(6 / 2) + 1)) < 1e-12
+    assert abs(scores["common"] - 2.0) < 1e-12

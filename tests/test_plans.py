@@ -132,3 +132,30 @@ def test_gather_align_declines_unamortizable_and_salted(spark):
     ) is edges
     assert prepare_gather_edges(edges, n_state=10, salted=True) is edges
     assert prepare_gather_edges(edges, n_state=10**9) is edges  # big state
+
+
+def test_random_walk_step_is_point_lookup_join(spark):
+    """The per-step walk join must equi-join on BOTH (src, idx) — the
+    pick index computed WALK-side from the carried out-degree — so each
+    walk row matches exactly one adjacency row. The broken shape (join
+    on src only, pmod pick as a post-join filter) streams a hub's whole
+    neighborhood per walk: O(sum outdeg) per step instead of O(|walks|)."""
+    import re
+
+    from fog_spark.algorithms.walks import random_walks
+
+    w = random_walks(cooccur_edges(spark, SF), length=2, seed=42)
+    plan = _plan(w)
+    step_joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*"
+        r"(?:\w+\s+)?\[([^\]]*pick_idx[^\]]*)\],\s*\[([^\]]*)\]", plan)
+    # step-2's union branch re-states step 1's join in the plan text
+    # (deduplicated at runtime by exchange reuse), so >= 2, not == 2
+    assert len(step_joins) >= 2, f"expected two-key step joins, got {step_joins}"
+    for left_keys, right_keys in step_joins:
+        assert "pick_idx" in left_keys and "idx" in right_keys
+    # the pick must never be applied as a post-join filter
+    for line in plan.splitlines():
+        s = line.strip(" :+-")
+        if s.startswith("Filter") and "pmod" in s:
+            raise AssertionError(f"pick applied as post-join filter: {s[:200]}")
