@@ -35,28 +35,32 @@ def k_core(
     external fixed-depth oracles, like the fixed-round graph queries).
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
-    sym = symmetrize(edges).distinct()  # degrees must not double-count
-
-    alive = vertices.select("id")
-    n_alive: int | None = None  # counted once, lazily, for round-1 fixed-point detection
-    m = 0
-    while True:
-        deg = (
-            sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("degree"))
-        )
-        survivors = deg.filter(F.col("degree") >= k)
-        survivors, om = materialize_observed(survivors, [F.count(F.lit(1)).alias("n")])
-        n_surv = int(om["n"] or 0)
-        if n_alive is None:
-            n_alive = alive.count()
-        m += 1
-        done = (
-            m >= rounds if rounds is not None
-            else (n_surv == n_alive or n_surv == 0)  # nobody dropped / all gone
-        )
-        alive, n_alive = survivors.select("id"), n_surv
-        if done:
-            return survivors.select("id", "degree")
+    # persist: every peel round re-reads the symmetrized edge table
+    sym = symmetrize(edges).distinct().persist()
+    try:
+        alive = vertices.select("id")
+        n_alive: int | None = None  # counted once, lazily, for round-1 fixed-point detection
+        m = 0
+        while True:
+            deg = (
+                sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+            survivors = deg.filter(F.col("degree") >= k)
+            survivors, om = materialize_observed(survivors, [F.count(F.lit(1)).alias("n")])
+            n_surv = int(om["n"] or 0)
+            m += 1
+            if rounds is not None:
+                done = m >= rounds  # fixed-depth mode never needs |alive|
+            else:
+                if n_alive is None:
+                    n_alive = alive.count()
+                done = n_surv == n_alive or n_surv == 0  # nobody dropped / all gone
+            alive, n_alive = survivors.select("id"), n_surv
+            if done:
+                # survivors is materialized (lineage cut), safe to drop sym
+                return survivors.select("id", "degree")
+    finally:
+        sym.unpersist()

@@ -160,7 +160,11 @@ def audio_features(media: DataFrame, decoder=None) -> DataFrame:
     the same integers."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decoder if decoder is not None else default_decoder()
+        # default stays FakeDecoder even when Pillow is present:
+        # PillowDecoder is an IMAGE decoder and would be semantically
+        # wrong for waveforms — a real deployment passes a torchaudio/
+        # ffmpeg-backed object through the ``decoder`` seam.
+        dec = decoder if decoder is not None else FakeDecoder
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):

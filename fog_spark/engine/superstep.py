@@ -100,11 +100,12 @@ def prepare_gather_edges(
     """
     spark = edges.sparkSession
     n = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    broadcastable = n_state is not None and 0 <= n_state <= BROADCAST_STATE_MAX
+    # n_state == 0 (empty graph): nothing to align, never cache
+    broadcastable = n_state is not None and 0 < n_state <= BROADCAST_STATE_MAX
     if not broadcastable or salted:
         return edges
     if m_edges and expected_iters is not None:
-        per_step_exchange = min(m_edges, n * (n_state or m_edges))
+        per_step_exchange = min(m_edges, n * n_state)
         if expected_iters * per_step_exchange < m_edges:
             return edges
     return edges.repartition(n, "dst").persist()

@@ -1383,9 +1383,12 @@ def q_image_features(spark, sf_dir):
     bytes tiled over the pixel grid), so mean luminance is reproducible
     by the SQL oracle below from md5(text) alone — a full rows+schema+
     hash check of the mapInPandas plumbing AND the feature math."""
-    from fog_spark.datapipe.multimodal import image_features
+    from fog_spark.datapipe.multimodal import FakeDecoder, image_features
 
-    feats = image_features(media_table(spark, sf_dir), resize_to=8)
+    # decoder pinned: the oracle below replays FakeDecoder's closed
+    # form, so auto-detecting Pillow here would break the contract (the
+    # payloads are utf-8 text, not real image bytes)
+    feats = image_features(media_table(spark, sf_dir), resize_to=8, decoder=FakeDecoder)
     return feats.select("media_id", F.round("mean_luma", 6).alias("mean_luma_r"))
 
 
@@ -1430,9 +1433,9 @@ def q_audio_features(spark, sf_dir):
     stub story as image_features: the pseudo-waveform is md5 digest
     bytes tiled over the sample grid, and mean/std are exact-integer
     computations, so DuckDB reproduces them from md5(text) alone."""
-    from fog_spark.datapipe.multimodal import audio_features
+    from fog_spark.datapipe.multimodal import FakeDecoder, audio_features
 
-    feats = audio_features(media_table(spark, sf_dir))
+    feats = audio_features(media_table(spark, sf_dir), decoder=FakeDecoder)
     return feats.select(
         "media_id",
         F.round("wave_mean", 6).alias("wave_mean_r"),

@@ -163,13 +163,30 @@ def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
         agg.write.mode("overwrite").parquet(tmp)
         if not fs.rename(spark, tmp, base_dir):
             raise IOError(f"degree base publish failed: {tmp}")
-    # one-cycle grace window: keep base=prev and the deltas folded into
-    # base=k; drop only what the previous compaction already superseded
-    for b in prior_bases[:-1]:
-        fs.delete(spark, f"{degrees_path}/base={b}")
-    for b in batches:
-        if b <= prev:
-            fs.delete(spark, f"{degrees_path}/batch={b}")
+    # The grace marker tracks elapsed cycles explicitly, so an IDLE
+    # stream (repeated compactions, no new batches) still converges to
+    # zero dead parts: a marker for base=k written by a PREVIOUS
+    # completed call means one full compaction cycle has passed since
+    # base=k became current, and everything it superseded is vacuumable.
+    grace_marker = f"{degrees_path}/.grace={k}"
+    if fs.exists(spark, grace_marker):
+        for b in prior_bases:
+            fs.delete(spark, f"{degrees_path}/base={b}")
+        for b in batches:
+            if b <= k:
+                fs.delete(spark, f"{degrees_path}/batch={b}")
+    else:
+        # one-cycle grace window: keep base=prev and the deltas folded
+        # into base=k; drop only what the previous compaction superseded
+        for b in prior_bases[:-1]:
+            fs.delete(spark, f"{degrees_path}/base={b}")
+        for b in batches:
+            if b <= prev:
+                fs.delete(spark, f"{degrees_path}/batch={b}")
+    for name in fs.list_names(spark, degrees_path):  # retire stale markers
+        if name.startswith(".grace=") and name != f".grace={k}":
+            fs.delete(spark, f"{degrees_path}/{name}")
+    fs.mkdirs(spark, grace_marker)
 
 
 def stream_event_sessions(

@@ -157,6 +157,30 @@ def test_compaction_grace_window(spark, tmp_path):
     assert {r["id"]: r["outdeg"] for r in read_degrees(spark, deg).collect()} == {1: 3, 5: 5, 9: 1}
 
 
+def test_idle_compaction_vacuums_after_one_cycle(spark, tmp_path):
+    """An idle stream (compactions with NO new batches) must still
+    converge to zero dead parts: the first repeat keeps the one-cycle
+    grace, the second vacuums everything the current base superseded."""
+    import pandas as pd
+
+    from fog_spark.engine import fs
+
+    deg = str(tmp_path / "degidle")
+    for part, rows in [("batch=0", [(1, 1)]), ("batch=1", [(1, 2), (5, 1)])]:
+        spark.createDataFrame(pd.DataFrame(rows, columns=["id", "outdeg"])).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{deg}/{part}")
+    compact_degrees(spark, deg)  # publishes base=1, grace cycle begins
+    lazy_reader = read_degrees(spark, deg)  # snapshot: base=1 only
+    compact_degrees(spark, deg)  # idle repeat: cycle elapsed -> vacuum deltas
+    names = fs.list_names(spark, deg)
+    assert "batch=0" not in names and "batch=1" not in names, names
+    assert "base=1" in names
+    assert {r["id"]: r["outdeg"] for r in lazy_reader.collect()} == {1: 3, 5: 1}
+    compact_degrees(spark, deg)  # further idles are no-ops, still correct
+    assert {r["id"]: r["outdeg"] for r in read_degrees(spark, deg).collect()} == {1: 3, 5: 1}
+
+
 def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     """Regression: foreachBatch is at-least-once; a replayed batch must
     not double-count (the batch partition already exists → skipped)."""
