@@ -264,3 +264,123 @@ def pagerank_standard(
     if hubs is not None:
         hubs.unpersist()
     return state.select("id", "rank"), it
+
+
+# ---------------------------------------------------------------------------
+# Personalized mode (seeded teleport, convergent)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame | None = None,
+    d: float = DAMPING,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+    ctx=None,
+    hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
+    n_salts: int = 16,
+) -> tuple[DataFrame, int]:
+    """Personalized PageRank: teleport mass goes to ``seeds`` (a
+    DataFrame with an ``id`` column) instead of uniformly everywhere —
+    the similarity/recommendation primitive an embedding-pipeline user
+    reaches for next to the random-walk corpus. Returns
+    ((id, rank), iterations_run).
+
+        tele(v)  = 1/|S| if v in S else 0
+        rank_0   = tele
+        rank_k+1 = (1-d + d*dangling_k) * tele + d * Σ_{u→v} rank_k(u)/outdeg(u)
+
+    Dangling mass is redistributed to the TELEPORT vector (not
+    uniformly), the standard PPR formulation, so Σ rank stays 1 and
+    ranks are exactly 0 outside the seeds' reachable set. Same
+    superstep engine as pagerank_standard: observed delta + dangling on
+    the materialize job, size-aware broadcasts, gather-aligned edge
+    cache, salting seam. ``tol=0.0`` never converges early — with
+    ``max_iters=k`` that is the fixed-depth form external fixed-k
+    oracles replay.
+    """
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    seed_set = seeds.select(F.col("id").alias("sid")).distinct()
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        raise ValueError("pagerank_personalized needs a non-empty seed set")
+    base = _degrees(edges, vertices)
+    state = (
+        base.join(seed_set, base["id"] == seed_set["sid"], "left")
+        .select(
+            "id",
+            "outdeg",
+            F.when(F.col("sid").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .withColumn("rank", F.col("tele"))
+        .withColumn("prev", F.lit(0.0))
+    )
+    n = state.count()
+    if n == 0:
+        return state.select("id", "rank"), 0
+
+    start_it = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_it, state = rp
+            rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})
+            if rec.get("delta") is not None and rec["delta"] < tol:
+                return state.select("id", "rank"), start_it
+    if start_it == 0:
+        state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
+    edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+    prepared = prepare_gather_edges(edges, n, salted)
+    owned_cache = prepared is not edges
+    edges = prepared
+
+    dangling = state.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+
+    it = start_it
+    for it in range(start_it + 1, max_iters + 1):
+        t0 = time.time()
+        st = maybe_broadcast(state, n)
+        msg_cols = [edges["dst"], (F.col("rank") / F.col("outdeg")).alias("msg")] + (
+            [edges[HUB_FLAG]] if salted else []
+        )
+        msgs = edges.join(st, edges["src"] == st["id"]).select(*msg_cols)
+        if salted:
+            agg = skewed_gather(msgs, "dst", [("sum", "msg", "contrib")], n_salts)
+        else:
+            agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
+        state = (
+            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            .select(
+                "id",
+                "outdeg",
+                "tele",
+                F.col("rank").alias("prev"),
+                (
+                    (1.0 - d + d * dangling) * F.col("tele")
+                    + d * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        state, om = materialize_observed(
+            state,
+            [
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+            ],
+            ctx,
+            it,
+        )
+        delta, dangling = float(om["delta"] or 0.0), float(om["dangling"] or 0.0)
+        if ctx is not None:
+            ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+        if delta < tol:
+            break
+    if owned_cache:
+        edges.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
+    return state.select("id", "rank"), it

@@ -117,3 +117,101 @@ def random_walks(
             for i in range(0, len(parts), 2)
         ]
     return parts[0]
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 4,
+    p: int = 1,
+    q: int = 1,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex): second-order biased walks (node2vec,
+    Grover & Leskovec, KDD'16). From previous vertex u at current v,
+    neighbor x's unnormalized weight is 1/p if x == u (return), 1 if
+    the edge u->x exists (BFS-ish), else 1/q (DFS-ish). ``p``/``q``
+    must be positive INTEGERS here: scaling all weights by p*q gives
+    the integer weights (q, p*q, p), so the cumulative-weight pick
+
+        r = md5(walk_id-t-seed) mod total_weight, choose the dst-ordered
+        neighbor whose cumulative range contains r
+
+    is exact integer math an external SQL oracle replays verbatim.
+    With p == q == 1 every weight is 1 and the pick degenerates to
+    ``random_walks``'s uniform index pick — the two functions return
+    IDENTICAL corpora (property-tested).
+
+    Plan shape: step 1 has no previous vertex and uses the same
+    (src, idx) point lookup as ``random_walks``. Steps >= 2 must gather
+    each walk's CURRENT neighborhood — exact second-order sampling is
+    a function of neighborhood membership (which neighbors of v are
+    also neighbors of u), so the O(sum outdeg over walk positions)
+    per-step cost is inherent, not an implementation artifact; it
+    equals one gather superstep over the frontier, all equi-joins and
+    one per-walk window, never all-pairs. (The O(1)-per-step
+    alternative at extreme hub scale is KnightKing-style rejection
+    sampling — SOSP'19 — trading the gather for a bounded number of
+    point-lookup accept/reject probes.)
+    """
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers (weights scale by p*q)")
+    adj = indexed_adjacency(edges)
+    adj2, deg = _adjacency_with_dst_outdeg(adj)
+    eset = adj.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    if vertices is None:
+        from fog_spark.engine.superstep import vertices_of
+
+        vertices = vertices_of(edges)
+    starts = vertices.select(
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)])).alias("rep"),
+        F.col("id").alias("vertex"),
+    ).select(
+        (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"), "vertex"
+    )
+    parts = [starts.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    # step 1: uniform point lookup (no previous vertex yet)
+    s0 = starts.join(deg, starts["vertex"] == deg["d_id"], "left").select(
+        "walk_id", "vertex", F.pmod(_hash_idx(F.col("walk_id"), 1, seed), F.col("d_outdeg")).alias("pick_idx")
+    )
+    j1 = s0.join(adj2, (s0["vertex"] == adj2["src"]) & (s0["pick_idx"] == adj2["idx"]))
+    cur = j1.select("walk_id", F.col("dst").alias("vertex"), F.col("src").alias("prev"))
+    parts.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
+    for t in range(2, length + 1):
+        cand = cur.join(adj, cur["vertex"] == adj["src"]).select(
+            "walk_id", cur["vertex"], "prev", F.col("dst").alias("cand")
+        )
+        flagged = cand.join(
+            eset,
+            (cand["prev"] == eset["p_src"]) & (cand["cand"] == eset["p_dst"]),
+            "left",
+        )
+        w = (
+            F.when(F.col("cand") == F.col("prev"), F.lit(q))
+            .when(F.col("p_src").isNotNull(), F.lit(p * q))
+            .otherwise(F.lit(p))
+            .cast("long")
+        )
+        win_cum = (
+            Window.partitionBy("walk_id").orderBy("cand")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        win_tot = Window.partitionBy("walk_id")
+        wc = (
+            flagged.withColumn("w", w)
+            .withColumn("cum", F.sum("w").over(win_cum))
+            .withColumn("tot", F.sum("w").over(win_tot))
+        )
+        r = F.pmod(_hash_idx(F.col("walk_id"), t, seed), F.col("tot"))
+        sel = wc.where((r >= F.col("cum") - F.col("w")) & (r < F.col("cum")))
+        cur = sel.select(
+            "walk_id", F.col("cand").alias("vertex"), F.col("vertex").alias("prev")
+        )
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

@@ -61,6 +61,32 @@ def pagerank_standard(
     return rank, max_iters
 
 
+def pagerank_personalized(
+    edges: np.ndarray,
+    n: int,
+    seeds: list[int],
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+) -> tuple[np.ndarray, int]:
+    """PPR: teleport AND dangling mass concentrated on the seed set."""
+    deg = out_degrees(edges, n).astype(np.float64)
+    tele = np.zeros(n)
+    tele[np.asarray(seeds)] = 1.0 / len(seeds)
+    rank = tele.copy()
+    src, dst = edges[:, 0], edges[:, 1]
+    dangling = deg == 0
+    for it in range(1, max_iters + 1):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] / deg[src])
+        new = (1.0 - d + d * rank[dangling].sum()) * tele + d * contrib
+        delta = np.abs(new - rank).max()
+        rank = new
+        if delta < tol:
+            return rank, it
+    return rank, max_iters
+
+
 def wcc(edges: np.ndarray, n: int) -> np.ndarray:
     """min-vertex-id label per weakly-connected component (union-find)."""
     parent = np.arange(n, dtype=np.int64)

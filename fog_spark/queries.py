@@ -1764,3 +1764,121 @@ ORACLES.update(
         "clustering_coeff": SQL_CLUSTERING_COEFF,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round 4: biased walks + personalized PageRank (embedding-pipeline ops)
+# ---------------------------------------------------------------------------
+
+N2V_P, N2V_Q = 2, 3  # all three scaled weights distinct: return=3, dist1=6, dist2=2
+
+
+def q_node2vec_k3(spark, sf_dir):
+    """Second-order biased node2vec walks (algorithms/walks.node2vec_walks,
+    Grover & Leskovec KDD'16), 3 steps, p=2 q=3: integer scaled weights
+    (q, p*q, p) over the dst-ordered neighborhood, cumulative-weight
+    pick by md5(walk_id-step-seed) mod total — every hop exact integer
+    math the SQL oracle replays."""
+    from fog_spark.algorithms.walks import node2vec_walks
+
+    out = node2vec_walks(cooccur_edges(spark, sf_dir), length=3, p=N2V_P, q=N2V_Q, seed=42)
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "vertex")
+
+
+def _sql_node2vec(k: int, p: int, q: int, seed: int = 42) -> str:
+    h1 = _hex8_sql(f"md5(w.walk_id::VARCHAR || '-1-{seed}')")
+    steps = [
+        f"W1 AS (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
+        f"  FROM W0 w JOIN adj a ON a.src = w.vertex AND a.idx = ({h1} % a.outdeg))"
+    ]
+    for t in range(2, k + 1):
+        h = _hex8_sql(f"md5(walk_id::VARCHAR || '-{t}-{seed}')")
+        steps.append(
+            f"C{t} AS (SELECT w.walk_id, w.vertex, w.prev, a.dst AS cand,\n"
+            f"  CASE WHEN a.dst = w.prev THEN {q}\n"
+            f"       WHEN e2.src IS NOT NULL THEN {p * q} ELSE {p} END AS wgt\n"
+            f"  FROM W{t-1} w JOIN adj a ON a.src = w.vertex\n"
+            f"  LEFT JOIN ded e2 ON e2.src = w.prev AND e2.dst = a.dst),\n"
+            f"S{t} AS (SELECT *,\n"
+            f"  sum(wgt) OVER (PARTITION BY walk_id ORDER BY cand\n"
+            f"                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,\n"
+            f"  sum(wgt) OVER (PARTITION BY walk_id) AS tot FROM C{t}),\n"
+            f"W{t} AS (SELECT walk_id, {t}::BIGINT AS step, cand AS vertex, vertex AS prev\n"
+            f"  FROM S{t} WHERE ({h} % tot) >= cum - wgt AND ({h} % tot) < cum)"
+        )
+    union = " UNION ALL ".join(
+        ["SELECT walk_id, step, vertex FROM W0"]
+        + [f"SELECT walk_id, step, vertex FROM W{t}" for t in range(1, k + 1)]
+    )
+    return f"""
+WITH {EDGES_CTE},
+ded AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS outdeg FROM ded),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
+{','.join(steps)}
+{union}
+"""
+
+
+PPR_ROUNDS = 3
+PPR_SEED_MOD = 100  # seeds = vertices with id % 100 == 0
+
+
+def q_ppr_seeded(spark, sf_dir):
+    """Personalized PageRank (algorithms/pagerank.pagerank_personalized):
+    teleport concentrated on the id%100==0 seed set, dangling mass to
+    the seeds, exactly 3 supersteps (tol=0 -> fixed depth, the
+    convergence-independent form; the 1e-6 convergent path shares the
+    loop and is pytest-oracled against numpy)."""
+    from fog_spark.algorithms.pagerank import pagerank_personalized
+    from fog_spark.engine.superstep import vertices_of
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    verts = vertices_of(edges)
+    seeds = verts.filter(F.col("id") % PPR_SEED_MOD == 0)
+    ranks, _ = pagerank_personalized(edges, seeds, vertices=verts, tol=0.0, max_iters=PPR_ROUNDS)
+    edges.unpersist()
+    return ranks.select("id", F.round("rank", 8).alias("rank_r"))
+
+
+def _sql_ppr(k: int, seed_mod: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "vd AS (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN deg d USING (id))",
+        f"ns AS (SELECT count(*)::DOUBLE AS n FROM verts WHERE id % {seed_mod} = 0)",
+        f"r0 AS MATERIALIZED (SELECT vd.id, vd.outdeg, "
+        f"CASE WHEN vd.id % {seed_mod} = 0 THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS tele, "
+        f"CASE WHEN vd.id % {seed_mod} = 0 THEN 1.0::DOUBLE / ns.n ELSE 0.0::DOUBLE END AS rank "
+        f"FROM vd, ns)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dang FROM r{i-1} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT r.id, r.outdeg, r.tele, "
+            f"(1.0::DOUBLE - 0.85::DOUBLE + 0.85::DOUBLE * d.dang) * r.tele "
+            f"+ 0.85::DOUBLE * coalesce(m.s, 0.0::DOUBLE) AS rank "
+            f"FROM r{i-1} r LEFT JOIN (SELECT e.dst, sum(r.rank / r.outdeg) AS s "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.id GROUP BY e.dst) m ON r.id = m.dst, d{i} d)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 8) AS rank_r FROM r{k}"
+
+
+QUERIES.update(
+    {
+        "node2vec_k3": q_node2vec_k3,
+        "ppr_seeded": q_ppr_seeded,
+    }
+)
+
+ORACLES.update(
+    {
+        "node2vec_k3": _sql_node2vec(3, N2V_P, N2V_Q),
+        "ppr_seeded": _sql_ppr(PPR_ROUNDS, PPR_SEED_MOD),
+    }
+)

@@ -96,3 +96,65 @@ def test_random_walks_validity_and_determinism(spark):
     assert again == sorted((r["walk_id"], r["step"], r["vertex"]) for r in rows)
     diff = random_walks(edges, length=6, seed=8).collect()
     assert sorted((r["walk_id"], r["step"], r["vertex"]) for r in diff) != again
+
+
+def test_node2vec_p1q1_equals_deepwalk(spark):
+    """With p=q=1 every scaled weight is 1 and the cumulative-weight
+    pick reduces to the uniform index pick: node2vec_walks must return
+    the EXACT corpus random_walks returns (same hash stream)."""
+    from fog_spark.algorithms.walks import node2vec_walks, random_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0), (1, 0), (3, 2)],
+        "src long, dst long")
+    a = sorted(map(tuple, random_walks(edges, length=5, seed=9).collect()))
+    b = sorted(map(tuple, node2vec_walks(edges, length=5, p=1, q=1, seed=9).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_node2vec_bias_replayed_in_python(spark):
+    """Every biased hop must match a python replay of the documented
+    pick: scaled integer weights (q, p*q, p) for (return, dist-1,
+    dist-2) over the dst-ordered neighborhood, r = md5 mod total."""
+    import hashlib
+
+    from fog_spark.algorithms.walks import node2vec_walks
+
+    raw = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0), (1, 0), (3, 2), (1, 3)]
+    p, q, seed, length = 2, 3, 13, 5
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    adj: dict[int, list[int]] = {}
+    eset = set(raw)
+    for s, d in sorted(set(raw)):
+        adj.setdefault(s, []).append(d)
+    rows = node2vec_walks(edges, length=length, p=p, q=q, seed=seed).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(walks) == {0, 1, 2, 3}
+    n_biased_hops = 0
+    for wid, path in walks.items():
+        assert path[0] == wid
+        # step 1: uniform index pick
+        nbrs = adj[path[0]]
+        r1 = int(hashlib.md5(f"{wid}-1-{seed}".encode()).hexdigest()[:8], 16)
+        assert path[1] == nbrs[r1 % len(nbrs)]
+        prev, cur = path[0], path[1]
+        for t in range(2, length + 1):
+            if cur not in adj:
+                assert t not in path
+                break
+            cands = adj[cur]
+            ws = [q if x == prev else (p * q if (prev, x) in eset else p) for x in cands]
+            if len(set(ws)) > 1:
+                n_biased_hops += 1
+            r = int(hashlib.md5(f"{wid}-{t}-{seed}".encode()).hexdigest()[:8], 16) % sum(ws)
+            cum = 0
+            for x, w in zip(cands, ws):
+                cum += w
+                if r < cum:
+                    expected = x
+                    break
+            assert path[t] == expected, (wid, t, path[t], expected)
+            prev, cur = cur, path[t]
+    assert n_biased_hops > 0  # the fixture must actually exercise the bias

@@ -57,3 +57,44 @@ def test_pagerank_standard_converges_to_1e6(spark):
     assert iters < 200
     assert np.allclose(got, expected, atol=1e-6)
     assert abs(got.sum() - 1.0) < 1e-6  # normalized: total mass conserved
+
+
+def test_ppr_matches_numpy(spark):
+    """Seeded-teleport PageRank converges to the numpy PPR fixed point."""
+    from fog_spark.algorithms.pagerank import pagerank_personalized
+
+    g = GRAPHS["g_er_n100"]
+    seeds_ids = [0, 7, 31]
+    expected, _ = oracles.pagerank_personalized(g.edges, g.n, seeds_ids)
+    vertices = spark.range(g.n).select("id")
+    seeds = spark.createDataFrame([(i,) for i in seeds_ids], "id long")
+    got_df, iters = pagerank_personalized(
+        graph_to_spark(spark, g), seeds, vertices=vertices, tol=1e-9)
+    got = _ranks(got_df, g.n)
+    assert np.allclose(got, expected, atol=1e-6)
+    assert iters > 1
+    assert abs(got.sum() - 1.0) < 1e-6  # mass conserved (dangling -> seeds)
+
+
+def test_ppr_zero_outside_reachable_set(spark):
+    """Teleport + dangling go only to seeds, so an entire component
+    unreachable from the seed set holds exactly rank 0."""
+    from fog_spark.algorithms.pagerank import pagerank_personalized
+
+    # component A: 0->1->2->0; component B: 3<->4 (unreachable from A)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got_df, _ = pagerank_personalized(edges, seeds, tol=1e-10)
+    got = {r["id"]: r["rank"] for r in got_df.collect()}
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[1] > 0  # seed holds the most mass
+
+
+def test_ppr_empty_seeds_rejected(spark):
+    from fog_spark.algorithms.pagerank import pagerank_personalized
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_personalized(edges, edges.select("src").alias("x").selectExpr("src as id").limit(0))
