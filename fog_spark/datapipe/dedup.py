@@ -53,14 +53,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
-    """(id, mh_0..mh_{k-1}): min over seeded xxhash64 of each shingle.
+def minhash_signatures(shingles: DataFrame, k: int = 16, hash_fn=None) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over seeded hashes of each shingle.
 
-    xxhash64 is Spark-native (JVM, codegen); seeds give k independent
-    permutation approximations.
+    ``hash_fn(i, col) -> Column`` is the permutation-family seam.
+    Default: seeded xxhash64 — Spark-native (JVM, codegen); seeds give
+    k independent permutation approximations. Pass an md5-based fn
+    (min over hex strings) when signatures must be reproducible by an
+    external engine — see queries.q_dedup_pipeline.
     """
+    if hash_fn is None:
+        hash_fn = lambda i, c: F.xxhash64(F.lit(i), c)  # noqa: E731
     d = shingles.distinct()
-    aggs = [F.min(F.xxhash64(F.lit(i), "t")).alias(f"mh_{i}") for i in range(k)]
+    aggs = [F.min(hash_fn(i, F.col("t"))).alias(f"mh_{i}") for i in range(k)]
     return d.groupBy("id").agg(*aggs)
 
 
@@ -72,18 +77,24 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = 1000,
+    hash_fn=None,
+    band_fn=None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) via MinHash banding.
 
     bands × rows-per-band = k. Buckets larger than ``max_bucket`` are
     dropped (degenerate content — at 100 TB one mega-bucket would
     otherwise produce a quadratic join; the dropped count is the
-    caller's skew telemetry).
+    caller's skew telemetry). ``hash_fn``/``band_fn`` parameterize the
+    shingle hash and the per-band bucket key (``band_fn(b, cols) ->
+    Column``); defaults are the fast xxhash64 JVM path.
     """
     rows = k // bands
-    sig = minhash_signatures(word_ngrams(docs, ngram, id_col, text_col), k)
+    sig = minhash_signatures(word_ngrams(docs, ngram, id_col, text_col), k, hash_fn=hash_fn)
+    if band_fn is None:
+        band_fn = lambda b, cols: F.xxhash64(F.lit(b), *cols)  # noqa: E731
     band_cols = [
-        F.xxhash64(F.lit(b), *[f"mh_{b * rows + r}" for r in range(rows)]).alias("bucket")
+        band_fn(b, [F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
         for b in range(bands)
     ]
     banded = sig.select(

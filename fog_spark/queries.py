@@ -1882,3 +1882,93 @@ ORACLES.update(
         "ppr_seeded": _sql_ppr(PPR_ROUNDS, PPR_SEED_MOD),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round 4: end-to-end dedup pipeline (shortlist -> verify -> cluster -> corpus)
+# ---------------------------------------------------------------------------
+
+PIPE_MINHASH_K, PIPE_BANDS, PIPE_MAX_BUCKET = 4, 2, 1000
+
+
+def q_dedup_pipeline(spark, sf_dir):
+    """The FULL dedup pipeline as ONE query, every stage the scale path:
+    minhash_lsh_candidates (banded shortlist, bucket cap) ->
+    ngram_jaccard_pairs(candidates=shortlist) (exact verify, semi-join
+    restricted) -> near_dup_clusters (CC closure) -> canonical corpus.
+    No all-pairs anywhere. The oracle reproduces the SAME shortlist:
+    minhash here uses the portable md5-hex hash family (min over hex
+    strings), so DuckDB replays signatures, bands, buckets, candidate
+    pairs, Jaccard verification, and the cluster closure verbatim.
+    Output: one row per canonical (kept) document with its duplicate-
+    cluster size."""
+    from fog_spark.datapipe.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    md5_hash = lambda i, c: F.md5(F.concat(F.lit(f"{i}:"), c))  # noqa: E731
+    md5_band = lambda b, cols: F.md5(F.concat_ws("|", F.lit(b), *cols))  # noqa: E731
+    cands = minhash_lsh_candidates(
+        docs, k=PIPE_MINHASH_K, bands=PIPE_BANDS, ngram=3,
+        max_bucket=PIPE_MAX_BUCKET, hash_fn=md5_hash, band_fn=md5_band,
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD, ngram=3, candidates=cands)
+    clusters = near_dup_clusters(docs, pairs.select("a_id", "b_id"))
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        clusters.filter(F.col("is_canonical"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "n_members")
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH RECURSIVE
+arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+sh0 AS (SELECT doc_id AS id,
+               unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS t
+        FROM arrs),
+sh AS MATERIALIZED (SELECT DISTINCT id, t FROM sh0),
+sig AS MATERIALIZED (
+  SELECT id, {", ".join(f"min(md5('{i}:' || t)) AS mh{i}" for i in range(PIPE_MINHASH_K))}
+  FROM sh GROUP BY id),
+banded AS MATERIALIZED (
+  SELECT id, 0 AS band, md5('0' || '|' || mh0 || '|' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5('1' || '|' || mh2 || '|' || mh3) AS bucket FROM sig),
+bsizes AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket),
+small AS MATERIALIZED (
+  SELECT b.id, b.band, b.bucket FROM banded b
+  JOIN bsizes s ON b.band = s.band AND b.bucket = s.bucket
+  WHERE s.n <= {PIPE_MAX_BUCKET}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM small a JOIN small b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+szs AS MATERIALIZED (SELECT id, count(*) AS n FROM sh GROUP BY id),
+common AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS c
+  FROM cand c JOIN sh x ON x.id = c.a JOIN sh y ON y.id = c.b AND y.t = x.t
+  GROUP BY c.a, c.b),
+pairs AS MATERIALIZED (
+  SELECT common.a, common.b
+  FROM common JOIN szs sa ON common.a = sa.id JOIN szs sb ON common.b = sb.id
+  WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+r AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT s.dst AS id, r.comp FROM r JOIN sym s ON s.src = r.id
+  WHERE r.comp < s.dst
+),
+cc AS (SELECT id, min(comp) AS cluster_id FROM r GROUP BY id),
+szc AS (SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id)
+SELECT c.id AS doc_id, s.n_members
+FROM cc c JOIN szc s USING (cluster_id) WHERE c.id = c.cluster_id
+"""
+
+QUERIES["dedup_pipeline"] = q_dedup_pipeline
+ORACLES["dedup_pipeline"] = SQL_DEDUP_PIPELINE

@@ -401,3 +401,32 @@ def test_tfidf_rare_term_outranks_higher_tf(spark):
     scores = {r["term"]: r["tfidf"] for r in rows}
     assert abs(scores["rare"] - (math.log(6 / 2) + 1)) < 1e-12
     assert abs(scores["common"] - 2.0) < 1e-12
+
+
+def test_dedup_pipeline_end_to_end(spark):
+    """Full chain on crafted docs: LSH shortlist -> Jaccard verify ->
+    CC clusters -> canonical corpus. Docs 0/1/2 are near-identical (one
+    trailing token differs), 3/4 identical to each other, 5 unique."""
+    import pandas as pd
+
+    from fog_spark.datapipe.dedup import (
+        minhash_lsh_candidates, near_dup_clusters, ngram_jaccard_pairs)
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [base + "alpha", base + "beta", base + "gamma",
+                 "completely different short text here", "completely different short text here",
+                 "nothing like anything else at all in this corpus truly"],
+    }))
+    cands = minhash_lsh_candidates(docs, k=4, bands=2, ngram=3, max_bucket=100)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, ngram=3, candidates=cands)
+    out = near_dup_clusters(docs, pairs.select("a_id", "b_id"))
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert by_doc[0] == (0, True) and by_doc[1] == (0, False) and by_doc[2] == (0, False)
+    assert by_doc[3] == (3, True) and by_doc[4] == (3, False)
+    assert by_doc[5] == (5, True)
+    # canonical corpus = exactly one survivor per cluster
+    kept = sorted(d for d, (_, canon) in by_doc.items() if canon)
+    assert kept == [0, 3, 5]
