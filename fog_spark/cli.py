@@ -91,7 +91,59 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         from fog_spark.algorithms.spmv import spmv
 
         return spmv(edges, vertices=vertices)
+    if args.app == "walks":
+        from fog_spark.algorithms.walks import random_walks
+
+        return random_walks(
+            edges, length=args.length, walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed, vertices=vertices,
+        )
+    if args.app == "node2vec":
+        from fog_spark.algorithms.walks import node2vec_walks
+
+        return node2vec_walks(
+            edges, length=args.length, p=args.p, q=args.q,
+            walks_per_vertex=args.walks_per_vertex, seed=args.seed, vertices=vertices,
+        )
+    if args.app == "ppr":
+        from fog_spark.algorithms.pagerank import pagerank_personalized
+
+        if not args.seeds:
+            raise ValueError("--app ppr requires --seeds id[,id...]")
+        seeds = edges.sparkSession.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "id long"
+        )
+        ranks, iters = pagerank_personalized(
+            edges, seeds, vertices, tol=args.tol, max_iters=args.max_iters, ctx=ctx
+        )
+        print(f"ppr converged after {iters} iterations", file=sys.stderr)
+        return ranks
     raise ValueError(f"unknown --app {args.app}")
+
+
+# table-input apps: --graph points at a parquet TABLE, not a graph
+def _run_table_app(args, spark: SparkSession) -> DataFrame:
+    if args.app == "tfidf":
+        from fog_spark.datapipe.text import tfidf_top_terms
+
+        return tfidf_top_terms(spark.read.parquet(args.graph), k=args.topk)
+    if args.app == "asof":
+        from fog_spark.datapipe.temporal import asof_join
+
+        if not args.right or not args.on:
+            raise ValueError("--app asof requires --right <parquet> and --on <key[,key...]>")
+        return asof_join(
+            spark.read.parquet(args.graph),
+            spark.read.parquet(args.right),
+            on=args.on.split(","),
+            left_ts=args.ts_col,
+            right_ts=args.ts_col,
+            tolerance_s=args.tolerance,
+        )
+    raise ValueError(f"unknown table app {args.app}")
+
+
+TABLE_APPS = ("tfidf", "asof")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -102,7 +154,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--app", "-a", required=True,
-        choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv", "kcore"],
+        choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
+                 "kcore", "walks", "node2vec", "ppr", "tfidf", "asof"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -110,6 +163,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--root", "-r", type=int, default=0, help="bfs/sssp root (options_utils.h:45-46)")
     p.add_argument("--k", type=int, default=3, help="kcore: minimum surviving degree")
+    p.add_argument("--length", type=int, default=4, help="walks/node2vec: steps per walk")
+    p.add_argument("--walks-per-vertex", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42, help="walks/node2vec: hash seed")
+    p.add_argument("--p", type=int, default=1, help="node2vec return parameter (integer)")
+    p.add_argument("--q", type=int, default=1, help="node2vec in-out parameter (integer)")
+    p.add_argument("--seeds", default=None, help="ppr: comma-separated seed vertex ids")
+    p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document")
+    p.add_argument("--right", default=None, help="asof: right-side parquet table")
+    p.add_argument("--on", default=None, help="asof: join key column(s), comma-separated")
+    p.add_argument("--ts-col", default="ts", help="asof: timestamp column on both sides")
+    p.add_argument("--tolerance", type=float, default=None, help="asof: max staleness seconds")
     p.add_argument("--out", "-o", default=None, help="output parquet dir (default: print top 100)")
     p.add_argument("--run-dir", default=None, help="checkpoint dir: enables mid-run resume")
     p.add_argument("--run-id", default="run0")
@@ -134,8 +198,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         from fog_spark.engine.checkpoint import RunContext
 
         ctx = RunContext(spark, args.run_dir, args.run_id, keep_last=args.keep_last)
-    edges, vertices = _load_edges(spark, args.graph, args.format)
-    out = _run_app(args, edges, vertices, ctx)
+    if args.app in TABLE_APPS:
+        out = _run_table_app(args, spark)
+    else:
+        edges, vertices = _load_edges(spark, args.graph, args.format)
+        out = _run_app(args, edges, vertices, ctx)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}", file=sys.stderr)

@@ -62,3 +62,67 @@ def test_cli_keep_last_vacuums(spark, tmp_path):
     kept = sorted(n for n in fs.list_names(spark, str(tmp_path / "ck" / "run0" / "state"))
                   if n[5:].isdigit())
     assert kept == ["step=00004", "step=00005"]
+
+
+def test_cli_walks_and_node2vec(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "walks")
+    rc = main(["--graph", path, "--app", "walks", "--length", "3",
+               "--seed", "7", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.walks import node2vec_walks, random_walks
+    from fog_spark.sources.edgelist import read_edgelist
+
+    expect = sorted(map(tuple, random_walks(
+        read_edgelist(spark, path), length=3, seed=7).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+    out2 = str(tmp_path / "n2v")
+    rc = main(["--graph", path, "--app", "node2vec", "--length", "3",
+               "--p", "2", "--q", "3", "--seed", "7", "--out", out2], spark=spark)
+    assert rc == 0
+    expect2 = sorted(map(tuple, node2vec_walks(
+        read_edgelist(spark, path), length=3, p=2, q=3, seed=7).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
+
+
+def test_cli_ppr(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "ppr")
+    rc = main(["--graph", path, "--app", "ppr", "--seeds", "0,7",
+               "--tol", "1e-8", "--out", out], spark=spark)
+    assert rc == 0
+    got = {r["id"]: r["rank"] for r in spark.read.parquet(out).collect()}
+    from fog_spark import oracles
+
+    expect, _ = oracles.pagerank_personalized(g.edges, g.n, [0, 7], tol=1e-8)
+    assert all(abs(got[i] - expect[i]) < 1e-6 for i in range(g.n))
+
+
+def test_cli_table_apps(spark, tmp_path):
+    import pandas as pd
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["alpha beta beta", "alpha gamma"]})
+    ).write.parquet(docs)
+    out = str(tmp_path / "tfidf")
+    rc = main(["--graph", docs, "--app", "tfidf", "--topk", "2", "--out", out], spark=spark)
+    assert rc == 0
+    terms = {(r["id"], r["rank"]): r["term"] for r in spark.read.parquet(out).collect()}
+    assert terms[(0, 1)] == "beta"  # tf=2 AND rare beats the shared term
+
+    left = str(tmp_path / "l.parquet")
+    right = str(tmp_path / "r.parquet")
+    spark.createDataFrame(
+        [(1, 10.0, 100.0)], "k long, ts double, v double").write.parquet(left)
+    spark.createDataFrame(
+        [(1, 9.0, 7.0), (1, 11.0, 8.0)], "k long, ts double, rv double").write.parquet(right)
+    out2 = str(tmp_path / "asof")
+    rc = main(["--graph", left, "--app", "asof", "--right", right,
+               "--on", "k", "--out", out2], spark=spark)
+    assert rc == 0
+    rows = spark.read.parquet(out2).collect()
+    assert len(rows) == 1 and rows[0]["rv_r"] == 7.0  # ts=9 matched, 11 is future
