@@ -26,6 +26,7 @@ def k_core(
     k: int,
     vertices: DataFrame | None = None,
     rounds: int | None = None,
+    ctx=None,
 ) -> DataFrame:
     """(id, degree): vertices surviving the k-core peel with their
     degree in the surviving subgraph.
@@ -33,7 +34,14 @@ def k_core(
     ``rounds=None`` peels to the fixed point (the true k-core);
     ``rounds=m`` runs exactly m peels (convergence-independent form for
     external fixed-depth oracles, like the fixed-round graph queries).
+
+    ``ctx`` (engine/checkpoint.RunContext): per-round survivor
+    snapshots + metrics, resumable mid-peel like cc/lpa — a killed run
+    restarted with the same run dir continues from the last committed
+    round and reaches the identical fixed point.
     """
+    import time
+
     vertices = vertices if vertices is not None else vertices_of(edges)
     # persist: every peel round re-reads the symmetrized edge table
     sym = symmetrize(edges).distinct().persist()
@@ -41,7 +49,21 @@ def k_core(
         alive = vertices.select("id")
         n_alive: int | None = None  # counted once, lazily, for round-1 fixed-point detection
         m = 0
+        if ctx is not None:
+            rp = ctx.resume_point()
+            if rp is not None:
+                m, state = rp
+                if rounds is not None and m >= rounds:
+                    # already peeled to (or past) the requested depth:
+                    # prefer the snapshot AT that depth if retention kept it
+                    exact = ctx.state_at(rounds) if m > rounds else None
+                    return (exact if exact is not None else state).select("id", "degree")
+                alive = state.select("id")
+                if rounds is None:
+                    # fixed-point detection needs |alive| of the resumed round
+                    n_alive = alive.count()
         while True:
+            t0 = time.time()
             deg = (
                 sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
                 .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
@@ -49,9 +71,14 @@ def k_core(
                 .agg(F.count(F.lit(1)).alias("degree"))
             )
             survivors = deg.filter(F.col("degree") >= k)
-            survivors, om = materialize_observed(survivors, [F.count(F.lit(1)).alias("n")])
+            survivors, om = materialize_observed(
+                survivors, [F.count(F.lit(1)).alias("n")], ctx, m + 1
+            )
             n_surv = int(om["n"] or 0)
             m += 1
+            if ctx is not None:
+                ctx.commit(m, active=n_surv, delta=None, wall_s=time.time() - t0,
+                           lineage=ctx.lineage_of(survivors))
             if rounds is not None:
                 done = m >= rounds  # fixed-depth mode never needs |alive|
             else:

@@ -86,7 +86,7 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
     if args.app == "kcore":
         from fog_spark.algorithms.kcore import k_core
 
-        return k_core(edges, k=args.k, vertices=vertices)
+        return k_core(edges, k=args.k, vertices=vertices, ctx=ctx)
     if args.app == "spmv":
         from fog_spark.algorithms.spmv import spmv
 

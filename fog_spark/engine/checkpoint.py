@@ -80,6 +80,13 @@ class RunContext:
     def read_state(self, step: int, name: str = "state") -> DataFrame:
         return self.spark.read.parquet(self._state_dir(step, name))
 
+    def state_at(self, step: int, name: str = "state") -> DataFrame | None:
+        """The committed snapshot AT a specific superstep, or None when
+        its directory is absent (vacuumed, or never written)."""
+        if fs.exists(self.spark, self._state_dir(step, name)):
+            return self.read_state(step, name=name)
+        return None
+
     # -- metrics / lineage --------------------------------------------------
 
     def _metrics_dir(self) -> str:

@@ -245,3 +245,34 @@ def test_bfs_sssp_lpa_resume(spark, tmp_path):
         ctx2 = RunContext(spark, str(tmp_path), f"{name}R")
         resumed = {r["id"]: r[key] for r in fn(ctx=ctx2).collect()}
         assert resumed == clean, name
+
+
+def test_kcore_resume_matches_clean(spark, tmp_path):
+    """Kill the peel after 1 round, resume with the same run dir, and
+    the fixed point matches an uninterrupted run exactly."""
+    from fog_spark.algorithms.kcore import k_core
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+    kk = 5
+    clean = {r["id"]: r["degree"] for r in k_core(edges, k=kk, vertices=vertices).collect()}
+    assert 0 < len(clean) < g.n  # the fixture must actually peel something
+
+    ctx1 = RunContext(spark, str(tmp_path), "runK")
+    k_core(edges, k=kk, vertices=vertices, rounds=1, ctx=ctx1)  # "crash" after round 1
+    assert ctx1.last_committed()["superstep"] == 1
+
+    ctx2 = RunContext(spark, str(tmp_path), "runK")
+    resumed = {r["id"]: r["degree"]
+               for r in k_core(edges, k=kk, vertices=vertices, ctx=ctx2).collect()}
+    assert resumed == clean
+    assert ctx2.last_committed()["superstep"] > 1
+
+    # resuming a run already at its fixed-depth target returns the snapshot
+    ctx3 = RunContext(spark, str(tmp_path), "runK")
+    again = {r["id"]: r["degree"]
+             for r in k_core(edges, k=kk, vertices=vertices, rounds=1, ctx=ctx3).collect()}
+    one_round = {r["id"]: r["degree"]
+                 for r in k_core(edges, k=kk, vertices=vertices, rounds=1).collect()}
+    assert again == one_round
