@@ -13,14 +13,15 @@ mid-iteration. The north_rule upgrades this: every superstep commits
   crash mid-commit leaves at worst an invisible temp file (never a
   truncated record, which the old append-to-jsonl layout could).
 
-All path operations go through the Hadoop FileSystem API (engine/fs),
-so the run directory can live on ``file:/``, ``hdfs://`` or any object
-store with an FS connector — not just the driver's local disk.
-``resume()`` restores the loop from the last committed superstep whose
-state snapshot is actually present. In production the same layout maps
-1:1 onto an Iceberg table partitioned by (run_id, superstep) with
-snapshot commits; parquet-on-dir is the sandbox stand-in (no Iceberg
-runtime jars in this container).
+All storage goes through the ``TableFormat`` seam
+(engine/table_format): the default ``ParquetDirFormat`` keeps the
+layout above via the Hadoop FileSystem API (engine/fs), so the run
+directory can live on ``file:/``, ``hdfs://`` or any object store with
+an FS connector; ``IcebergFormat`` maps the same operations 1:1 onto
+step-partitioned Iceberg tables with snapshot commits (no Iceberg
+runtime jars in this container — its call shape is pinned by unit
+tests). ``resume()`` restores the loop from the last committed
+superstep whose state snapshot is actually present.
 """
 
 from __future__ import annotations
@@ -30,70 +31,47 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from fog_spark.engine import fs
+from fog_spark.engine.table_format import ParquetDirFormat
+
+_METRICS = "metrics"
 
 
 class RunContext:
     def __init__(self, spark: SparkSession, run_dir: str, run_id: str = "run0",
-                 collect_lineage: bool = True, keep_last: int | None = None):
+                 collect_lineage: bool = True, keep_last: int | None = None,
+                 table_format=None):
         """``keep_last=K`` turns on retention: every commit() vacuums
         snapshots/metrics older than the newest K supersteps (never the
-        resume point). ``None`` (default) keeps full history."""
+        resume point). ``None`` (default) keeps full history.
+        ``table_format``: a TableFormat implementation (default: the
+        parquet-dir format rooted at <run_dir>/<run_id>)."""
         self.spark = spark
         self.root = f"{run_dir.rstrip('/')}/{run_id}"
         self.run_id = run_id
         self.collect_lineage = collect_lineage
         self.keep_last = keep_last
-        fs.mkdirs(spark, self._metrics_dir())
+        self.fmt = table_format if table_format is not None else ParquetDirFormat(spark, self.root)
+        self.fmt.ensure_record_table(_METRICS)
 
     # -- state ------------------------------------------------------------
 
-    def _state_dir(self, step: int, name: str) -> str:
-        return f"{self.root}/{name}/step={step:05d}"
-
     def write_state(self, df: DataFrame, step: int, name: str = "state") -> DataFrame:
-        """Durably write one superstep's state; return the re-read frame
-        (lineage now starts at the parquet scan — the plan is cut).
-
-        Commit protocol: write to a temp dir, atomically rename into
-        place. A pre-existing dir for the same step (re-run after
-        resume) is renamed aside first and deleted only after the new
-        snapshot is live, so no crash window destroys the only copy.
-        """
-        path = self._state_dir(step, name)
-        tmp = path + ".tmp"
-        aside = path + ".old"
-        fs.delete(self.spark, tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        fs.delete(self.spark, aside)
-        had_old = False
-        if fs.exists(self.spark, path):
-            had_old = fs.rename(self.spark, path, aside)
-            if not had_old:  # FS refused the aside rename: clear the way
-                fs.delete(self.spark, path)
-        if not fs.rename(self.spark, tmp, path):
-            raise IOError(f"checkpoint commit rename failed: {tmp} -> {path}")
-        if had_old:
-            fs.delete(self.spark, aside)
-        return self.spark.read.parquet(path)
+        """Durably write one superstep's state through the table format
+        (atomic partition replace); return the re-read frame (lineage
+        now starts at the committed data — the plan is cut)."""
+        return self.fmt.write_partition(df, name, step)
 
     def read_state(self, step: int, name: str = "state") -> DataFrame:
-        return self.spark.read.parquet(self._state_dir(step, name))
+        return self.fmt.read_partition(name, step)
 
     def state_at(self, step: int, name: str = "state") -> DataFrame | None:
         """The committed snapshot AT a specific superstep, or None when
-        its directory is absent (vacuumed, or never written)."""
-        if fs.exists(self.spark, self._state_dir(step, name)):
+        its partition is absent (vacuumed, or never written)."""
+        if self.fmt.partition_exists(name, step):
             return self.read_state(step, name=name)
         return None
 
     # -- metrics / lineage --------------------------------------------------
-
-    def _metrics_dir(self) -> str:
-        return f"{self.root}/metrics"
-
-    def _metric_path(self, step: int) -> str:
-        return f"{self._metrics_dir()}/step={step:05d}.json"
 
     def lineage_of(self, df: DataFrame) -> dict[str, int]:
         """partition id -> row count of a (just-materialized) state frame."""
@@ -113,36 +91,21 @@ class RunContext:
             "lineage": lineage or {},
             **extra,
         }
-        path = self._metric_path(step)
-        tmp = f"{self._metrics_dir()}/.tmp-{step:05d}.json"
-        fs.write_text(self.spark, tmp, json.dumps(rec))
-        fs.delete(self.spark, path)
-        if not fs.rename(self.spark, tmp, path):
-            # a silently dropped metric would make the committed state
-            # invisible to resume — fail loudly like write_state does
-            raise IOError(f"metric commit rename failed: {tmp} -> {path}")
+        # atomic publish through the format — a silently dropped metric
+        # would make the committed state invisible to resume, so the
+        # format implementations fail loudly on commit failure
+        self.fmt.write_record(_METRICS, step, json.dumps(rec))
         if self.keep_last is not None:
             self.vacuum(self.keep_last)
 
     def metrics(self) -> list[dict]:
-        # sort by the parsed integer step, not the filename: at
-        # step >= 100000 the %05d format widens and 'step=100000' would
-        # sort lexicographically BEFORE 'step=99999'
-        names = sorted(
-            (n for n in fs.list_names(self.spark, self._metrics_dir())
-             if n.startswith("step=") and n.endswith(".json")),
-            key=lambda n: int(n[5:-5]),
-        )
         out = []
-        for n in names:
+        for _step, text in self.fmt.read_records(_METRICS):
             try:
-                out.append(json.loads(fs.read_text(self.spark, f"{self._metrics_dir()}/{n}")))
+                out.append(json.loads(text))
             except Exception:
                 # a damaged record must not brick resume — skip it; the
                 # matching state snapshot is simply not resumed into.
-                # Broad on purpose: JVM-side read failures (file deleted
-                # between list and read, transient object-store error)
-                # surface as py4j.protocol.Py4JJavaError, not OSError.
                 continue
         return out
 
@@ -163,25 +126,21 @@ class RunContext:
             return []
         keep = set(steps[-keep_last:])
         for s in reversed(steps):  # protect the resume point
-            if fs.exists(self.spark, self._state_dir(s, name)):
+            if self.fmt.partition_exists(name, s):
                 keep.add(s)
                 break
         min_keep = min(keep)
         # metric-less snapshots (the step-0 init write, or orphans from a
         # crash between write_state and commit) age out with the window too
-        state_steps = {
-            int(n[5:])
-            for n in fs.list_names(self.spark, f"{self.root}/{name}")
-            if n.startswith("step=") and n[5:].isdigit()
-        }
+        state_steps = set(self.fmt.list_partitions(name))
         removed = []
         for s in sorted(set(steps) | state_steps):
             if s in keep:
                 continue
             if s not in steps and s >= min_keep:
-                continue  # metric-less dir at/above the window: possibly in-flight
-            fs.delete(self.spark, self._state_dir(s, name))
-            fs.delete(self.spark, self._metric_path(s))
+                continue  # metric-less partition at/above the window: possibly in-flight
+            self.fmt.delete_partition(name, s)
+            self.fmt.delete_record(_METRICS, s)
             removed.append(s)
         return removed
 
@@ -194,15 +153,15 @@ class RunContext:
         or None if fresh. Walks backwards past any commit whose state
         directory is missing.
 
-        Presence test = the directory exists: write_state publishes
-        snapshots only by atomic rename of a fully-written temp dir, so
-        an existing dir is complete by construction. (Deliberately NOT
-        keyed on _SUCCESS: clusters with
-        mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
-        on object stores — write no marker, and requiring one would
-        silently disable resume there.)"""
+        Presence test = the partition exists: write_state publishes
+        snapshots only atomically (rename of a fully-written temp dir /
+        an Iceberg snapshot commit), so a present partition is complete
+        by construction. (Deliberately NOT keyed on _SUCCESS: clusters
+        with mapreduce.fileoutputcommitter.marksuccessfuljobs=false —
+        common on object stores — write no marker, and requiring one
+        would silently disable resume there.)"""
         for rec in reversed(self.metrics()):
             step = rec["superstep"]
-            if fs.exists(self.spark, self._state_dir(step, name)):
+            if self.fmt.partition_exists(name, step):
                 return step, self.read_state(step, name=name)
         return None

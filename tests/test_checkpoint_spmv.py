@@ -85,8 +85,8 @@ def test_vacuum_retention_and_resume(spark, tmp_path):
     for step in range(1, 5):
         ctx3.write_state(state, step)
         ctx3.commit(step, active=4, delta=None, wall_s=0.0)
-    fs.delete(spark, ctx3._state_dir(3, "state"))
-    fs.delete(spark, ctx3._state_dir(4, "state"))
+    ctx3.fmt.delete_partition("state", 3)
+    ctx3.fmt.delete_partition("state", 4)
     assert ctx3.vacuum(keep_last=1) == [1, 3]  # keeps 4 (window) AND 2 (resume point)
     step, _ = ctx3.resume_point()
     assert step == 2
