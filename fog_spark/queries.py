@@ -1972,3 +1972,52 @@ FROM cc c JOIN szc s USING (cluster_id) WHERE c.id = c.cluster_id
 
 QUERIES["dedup_pipeline"] = q_dedup_pipeline
 ORACLES["dedup_pipeline"] = SQL_DEDUP_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# round 4: approximate distinct reach (KMV/bottom-k sketch)
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+
+
+def q_kmv_reach(spark, sf_dir):
+    """Approximate distinct out-neighbor count per vertex via the KMV
+    bottom-k sketch (datapipe/sketches.kmv_distinct, k=32). Unlike
+    HLL++ the estimate is a deterministic md5-based function of the
+    value set, so the oracle reproduces it EXACTLY — an approximate
+    query with an exact correctness gate."""
+    from fog_spark.datapipe.sketches import kmv_distinct
+
+    out = kmv_distinct(cooccur_edges(spark, sf_dir), "src", "dst", k=KMV_K)
+    return out.select(
+        "src",
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.round("estimate", 6).alias("est_r"),
+    )
+
+
+def _hex_fold_sql(expr: str, digits: int) -> str:
+    """First ``digits`` md5 hex chars folded to an integer (DuckDB twin
+    of Spark conv(substring(md5(..), 1, digits), 16, 10))."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (digits - 1 - i)}"
+        for i in range(digits)
+    ) + ")"
+
+
+SQL_KMV_REACH = f"""
+WITH {EDGES_CTE},
+d AS (SELECT DISTINCT src, dst FROM edges),
+h AS (SELECT src, {_hex_fold_sql("md5(dst::VARCHAR)", 13)} + 1 AS hv FROM d),
+r AS (SELECT src, hv, row_number() OVER (PARTITION BY src ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY src) AS nd FROM h),
+s AS (SELECT * FROM r WHERE rk = least(nd, {KMV_K}))
+SELECT src, least(nd, {KMV_K})::BIGINT AS n_seen,
+       round(CASE WHEN nd <= {KMV_K} THEN nd::DOUBLE
+                  ELSE {KMV_K - 1}.0 / (hv / {float(2 ** 52)!r}) END, 6) AS est_r
+FROM s
+"""
+
+QUERIES["kmv_reach"] = q_kmv_reach
+ORACLES["kmv_reach"] = SQL_KMV_REACH

@@ -430,3 +430,23 @@ def test_dedup_pipeline_end_to_end(spark):
     # canonical corpus = exactly one survivor per cluster
     kept = sorted(d for d, (_, canon) in by_doc.items() if canon)
     assert kept == [0, 3, 5]
+
+
+def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
+    """Bottom-k sketch: exact when a group's distinct count <= k;
+    within the KMV error envelope (rse ~ 1/sqrt(k-2)) above it; and
+    insensitive to duplicate rows (it sketches the distinct SET)."""
+    from fog_spark.datapipe.sketches import kmv_distinct
+
+    rows = []
+    # group 0: 40 distinct values (< k=64) duplicated 3x -> exact 40
+    for v in range(40):
+        rows += [(0, f"v{v}")] * 3
+    # group 1: 5000 distinct values -> estimated
+    rows += [(1, f"w{v}") for v in range(5000)]
+    df = spark.createDataFrame(rows, "g long, v string")
+    out = {r["g"]: (r["n_seen"], r["estimate"]) for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out[0] == (40, 40.0)
+    n_seen, est = out[1]
+    assert n_seen == 64
+    assert abs(est - 5000) / 5000 < 0.5  # ~4 standard errors at k=64
