@@ -21,8 +21,16 @@ step, never O(sum outdeg) (a hub with 29M neighbors contributes exactly
 one matched row per walk positioned there, not 29M streamed-and-
 filtered rows). Walks stop early at sink vertices: their ``outdeg`` is
 null, so the pick index is null and the equi-join simply produces no
-row. The adjacency subplan is identical across steps, so Spark's
-exchange reuse materializes its window shuffle once.
+row. The adjacency and each step's frontier are compiled to concrete
+RDDs once (lazy localCheckpoint — ``plan_cuts``): measured, Spark's
+exchange reuse does NOT deduplicate the identical subplans across the
+union's step branches, so without the cuts step t re-executes steps
+1..t-1 and corpus generation goes superlinear in walk length (324s at
+length 12 vs 6.6s with cuts on the same 100k-edge graph). With the
+cuts every step and the adjacency window run exactly once —
+O(length) joins total, the walk-engine cost model DeepWalk length
+40-80 corpora need. ``plan_cuts=False`` keeps the fully-lazy plan
+(used by the plan-shape tests).
 
 Biased (node2vec p,q) walks: see ``node2vec_walks`` below — same
 point-lookup shape, with the previous vertex carried on the frontier
@@ -73,15 +81,24 @@ def random_walks(
     walks_per_vertex: int = 1,
     seed: int = 42,
     vertices: DataFrame | None = None,
+    plan_cuts: bool = True,
 ) -> DataFrame:
     """(walk_id, step, vertex): ``walks_per_vertex`` hash-driven walks
     from every vertex, each up to ``length`` steps (ending early at
     sinks). walk_id = start_vertex * walks_per_vertex + replica."""
-    adj2, deg = _adjacency_with_dst_outdeg(indexed_adjacency(edges))
+    _cut = (lambda df: df.localCheckpoint(eager=False)) if plan_cuts else (lambda df: df)
+    # the indexed adjacency is compiled to ONE concrete RDD; everything
+    # downstream (adj2, deg, every step's join) references that RDD, so
+    # the edge derivation + index window run exactly once — separately
+    # compiled cuts would each re-execute the (possibly expensive,
+    # unpersisted) upstream edge derivation
+    adj = _cut(indexed_adjacency(edges))
+    adj2, deg = _adjacency_with_dst_outdeg(adj)
+    adj2 = _cut(adj2)
     if vertices is None:
         from fog_spark.engine.superstep import vertices_of
 
-        vertices = vertices_of(edges)
+        vertices = _cut(vertices_of(edges))
     starts = vertices.select(
         F.explode(
             F.array(*[F.lit(r) for r in range(walks_per_vertex)])
@@ -91,9 +108,17 @@ def random_walks(
         (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"),
         "vertex",
     )
-    # one degree lookup for step 0 only; afterwards the frontier carries it
-    cur = starts.join(deg, starts["vertex"] == deg["d_id"], "left").select(
-        "walk_id", "vertex", F.col("d_outdeg").alias("outdeg")
+    # one degree lookup for step 0 only; afterwards the frontier carries it.
+    # Each step's frontier is localCheckpoint'ed LAZILY (eager=False):
+    # the plan is compiled to one concrete RDD now, so the union branch
+    # for step t and step t+1's chain share it — each step computes
+    # ONCE. Without the cut, step t's plan restates steps 1..t-1 and
+    # corpus generation goes superlinear in walk length (measured:
+    # length 12 took 324s vs 9s at length 4 on the same 100k-edge
+    # graph; DeepWalk corpora use length 40-80).
+    cur = _cut(
+        starts.join(deg, starts["vertex"] == deg["d_id"], "left")
+        .select("walk_id", "vertex", F.col("d_outdeg").alias("outdeg"))
     )
     parts = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
     for t in range(1, length + 1):
@@ -105,11 +130,11 @@ def random_walks(
             adj2,
             (stepped["vertex"] == adj2["src"]) & (stepped["pick_idx"] == adj2["idx"]),
         )
-        cur = nxt.select(
+        cur = _cut(nxt.select(
             "walk_id",
             F.col("dst").alias("vertex"),
             F.col("dst_outdeg").alias("outdeg"),
-        )
+        ))
         parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
     while len(parts) > 1:  # halving unions keep the plan shallow
         parts = [
@@ -127,6 +152,7 @@ def node2vec_walks(
     walks_per_vertex: int = 1,
     seed: int = 42,
     vertices: DataFrame | None = None,
+    plan_cuts: bool = True,
 ) -> DataFrame:
     """(walk_id, step, vertex): second-order biased walks (node2vec,
     Grover & Leskovec, KDD'16). From previous vertex u at current v,
@@ -157,13 +183,17 @@ def node2vec_walks(
     """
     if p < 1 or q < 1:
         raise ValueError("p and q must be positive integers (weights scale by p*q)")
-    adj = indexed_adjacency(edges)
+    _cut = (lambda df: df.localCheckpoint(eager=False)) if plan_cuts else (lambda df: df)
+    # one concrete RDD for the indexed adjacency (see random_walks):
+    # steps reference it, its degree/eset projections stay cheap
+    adj = _cut(indexed_adjacency(edges))
     adj2, deg = _adjacency_with_dst_outdeg(adj)
+    adj2 = _cut(adj2)
     eset = adj.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
     if vertices is None:
         from fog_spark.engine.superstep import vertices_of
 
-        vertices = vertices_of(edges)
+        vertices = _cut(vertices_of(edges))
     starts = vertices.select(
         F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)])).alias("rep"),
         F.col("id").alias("vertex"),
@@ -176,7 +206,9 @@ def node2vec_walks(
         "walk_id", "vertex", F.pmod(_hash_idx(F.col("walk_id"), 1, seed), F.col("d_outdeg")).alias("pick_idx")
     )
     j1 = s0.join(adj2, (s0["vertex"] == adj2["src"]) & (s0["pick_idx"] == adj2["idx"]))
-    cur = j1.select("walk_id", F.col("dst").alias("vertex"), F.col("src").alias("prev"))
+    cur = _cut(j1.select(
+        "walk_id", F.col("dst").alias("vertex"), F.col("src").alias("prev")
+    ))
     parts.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
     for t in range(2, length + 1):
         cand = cur.join(adj, cur["vertex"] == adj["src"]).select(
@@ -205,9 +237,9 @@ def node2vec_walks(
         )
         r = F.pmod(_hash_idx(F.col("walk_id"), t, seed), F.col("tot"))
         sel = wc.where((r >= F.col("cum") - F.col("w")) & (r < F.col("cum")))
-        cur = sel.select(
+        cur = _cut(sel.select(
             "walk_id", F.col("cand").alias("vertex"), F.col("vertex").alias("prev")
-        )
+        ))  # per-step plan cut, see random_walks
         parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
     while len(parts) > 1:
         parts = [

@@ -144,7 +144,9 @@ def test_random_walk_step_is_point_lookup_join(spark):
 
     from fog_spark.algorithms.walks import random_walks
 
-    w = random_walks(cooccur_edges(spark, SF), length=2, seed=42)
+    # plan_cuts=False keeps the whole chain in one lazy plan so the
+    # step joins are visible (the default compiles each step to an RDD)
+    w = random_walks(cooccur_edges(spark, SF), length=2, seed=42, plan_cuts=False)
     plan = _plan(w)
     step_joins = re.findall(
         r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*"
