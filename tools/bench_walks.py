@@ -91,6 +91,39 @@ def main() -> None:
     hub_wall, hub_steal, hub_rows = run(hub_edges)
     uni_wall, uni_steal, uni_rows = run(uni_edges)
 
+    # second-order walks on the funnel: the exact sampler must gather
+    # each walk's whole neighborhood (O(frontier-at-hub * hub_outdeg)
+    # per step — quadratic in n on this fixture), the rejection sampler
+    # (KnightKing) stays point lookups. Exact is timed at small n to
+    # show the growth; rejection runs at the full 200k.
+    from fog_spark.algorithms.walks import node2vec_walks, node2vec_walks_rejection
+
+    def funnel(k):
+        i = spark.range(1, k).select(F.col("id"))
+        return (
+            i.select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+            .unionByName(i.select(F.lit(0).alias("src"), F.col("id").alias("dst")))
+            .persist()
+        )
+
+    n2v = {}
+    for small_n in (2000, 8000):
+        fe = funnel(small_n)
+        fe.count()
+        t0 = time.time()
+        node2vec_walks(fe, length=args.length, p=2, q=3, seed=42).count()
+        n2v[f"exact_n{small_n}_wall_s"] = round(time.time() - t0, 3)
+        fe.unpersist()
+    # attempts sized so the exact-fallback residue vanishes:
+    # (1 - min_w/max_w)^attempts = (2/3)^32 ~ 2e-6 of hub walks
+    t0 = time.time()
+    rej_rows = node2vec_walks_rejection(
+        hub_edges, length=args.length, p=2, q=3, seed=42, attempts=32
+    ).count()
+    n2v["rejection_n200000_wall_s"] = round(time.time() - t0, 3)
+    n2v["rejection_n200000_rows"] = rej_rows
+    n2v["rejection_attempts"] = 32
+
     out = {
         "metric": "random_walks_hub_vs_uniform",
         "n_vertices": n,
@@ -100,6 +133,7 @@ def main() -> None:
         "uniform": {"edges": m_uni, "max_outdeg": 2, "wall_s": uni_wall,
                     "steal_pct": uni_steal, "corpus_rows": uni_rows},
         "hub_over_uniform": round(hub_wall / uni_wall, 3),
+        "node2vec": n2v,
         "old_plan_rows_per_step_at_hub": (n // 2) * (n - 1),
         "note": "old (src-only join + pick filter) plan would stream "
                 "~|walks_at_hub| * outdeg(hub) rows per step on the funnel "
