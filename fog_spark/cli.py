@@ -99,8 +99,14 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
             seed=args.seed, vertices=vertices,
         )
     if args.app == "node2vec":
-        from fog_spark.algorithms.walks import node2vec_walks
+        from fog_spark.algorithms.walks import node2vec_walks, node2vec_walks_rejection
 
+        if args.sampler == "rejection":
+            return node2vec_walks_rejection(
+                edges, length=args.length, p=args.p, q=args.q,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+                attempts=args.attempts, vertices=vertices,
+            )
         return node2vec_walks(
             edges, length=args.length, p=args.p, q=args.q,
             walks_per_vertex=args.walks_per_vertex, seed=args.seed, vertices=vertices,
@@ -168,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42, help="walks/node2vec: hash seed")
     p.add_argument("--p", type=int, default=1, help="node2vec return parameter (integer)")
     p.add_argument("--q", type=int, default=1, help="node2vec in-out parameter (integer)")
+    p.add_argument("--sampler", choices=["exact", "rejection"], default="exact",
+                   help="node2vec: exact gather vs KnightKing-style rejection "
+                        "(point lookups; use on hub-heavy graphs)")
+    p.add_argument("--attempts", type=int, default=8,
+                   help="node2vec rejection: batched draws per step before exact fallback")
     p.add_argument("--seeds", default=None, help="ppr: comma-separated seed vertex ids")
     p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document")
     p.add_argument("--right", default=None, help="asof: right-side parquet table")

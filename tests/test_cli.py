@@ -126,3 +126,19 @@ def test_cli_table_apps(spark, tmp_path):
     assert rc == 0
     rows = spark.read.parquet(out2).collect()
     assert len(rows) == 1 and rows[0]["rv_r"] == 7.0  # ts=9 matched, 11 is future
+
+
+def test_cli_node2vec_rejection_sampler(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "n2vr")
+    rc = main(["--graph", path, "--app", "node2vec", "--sampler", "rejection",
+               "--length", "3", "--p", "2", "--q", "3", "--attempts", "4",
+               "--seed", "7", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.walks import node2vec_walks_rejection
+    from fog_spark.sources.edgelist import read_edgelist
+
+    expect = sorted(map(tuple, node2vec_walks_rejection(
+        read_edgelist(spark, path), length=3, p=2, q=3, seed=7, attempts=4).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
