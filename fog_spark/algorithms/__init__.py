@@ -8,3 +8,5 @@ from fog_spark.algorithms.triangles import triangle_counts  # noqa: F401
 from fog_spark.algorithms.spmv import spmv  # noqa: F401
 from fog_spark.algorithms.scc import strongly_connected_components  # noqa: F401
 from fog_spark.algorithms.kcore import k_core  # noqa: F401
+from fog_spark.algorithms.hits import hits  # noqa: F401
+from fog_spark.algorithms.linkpred import common_neighbor_scores  # noqa: F401

@@ -292,3 +292,19 @@ def k_core(edges: np.ndarray, n: int, k: int, rounds: int | None = None) -> dict
         alive = set(survivors)
         if done or not alive:
             return survivors
+
+
+def hits(edges: np.ndarray, n: int, niters: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    """(authority, hub) after niters update+L2-normalize rounds."""
+    a, h = np.ones(n), np.ones(n)
+    src, dst = edges[:, 0], edges[:, 1]
+    for _ in range(niters):
+        a_raw = np.zeros(n)
+        np.add.at(a_raw, dst, h[src])
+        nrm = np.sqrt((a_raw * a_raw).sum())
+        a = a_raw / (nrm if nrm > 0 else 1.0)
+        h_raw = np.zeros(n)
+        np.add.at(h_raw, src, a[dst])
+        nrm = np.sqrt((h_raw * h_raw).sum())
+        h = h_raw / (nrm if nrm > 0 else 1.0)
+    return a, h

@@ -2120,3 +2120,112 @@ W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 
 QUERIES["node2vec_rej_k3"] = q_node2vec_rej_k3
 ORACLES["node2vec_rej_k3"] = _sql_node2vec_rejection(3, N2V_P, N2V_Q, N2VR_ATTEMPTS)
+
+
+# ---------------------------------------------------------------------------
+# round 4: HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+
+
+def q_hits_k2(spark, sf_dir):
+    """HITS (Kleinberg 1999; algorithms/hits): 2 full authority+hub
+    update/L2-normalize rounds — the alternating two-gather superstep
+    PageRank doesn't exercise."""
+    from fog_spark.algorithms.hits import hits
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    out = hits(edges, niters=HITS_ROUNDS)
+    edges.unpersist()
+    return out.select(
+        "id", F.round("authority", 6).alias("auth_r"), F.round("hub", 6).alias("hub_r")
+    )
+
+
+def _sql_hits(k: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM verts)",
+    ]
+    prev_h = "h0"
+    for i in range(1, k + 1):
+        ctes += [
+            f"ar{i} AS (SELECT v.id, coalesce(m.s, 0.0)::DOUBLE AS a_raw FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS s FROM edges e "
+            f"JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst) m ON v.id = m.id)",
+            f"an{i} AS (SELECT CASE WHEN sqrt(sum(a_raw*a_raw)) > 0 "
+            f"THEN sqrt(sum(a_raw*a_raw)) ELSE 1.0 END AS nrm FROM ar{i})",
+            f"a{i} AS (SELECT id, a_raw / nrm AS authority FROM ar{i}, an{i})",
+            f"hr{i} AS (SELECT v.id, coalesce(m.s, 0.0)::DOUBLE AS h_raw FROM verts v "
+            f"LEFT JOIN (SELECT e.src AS id, sum(a.authority) AS s FROM edges e "
+            f"JOIN a{i} a ON e.dst = a.id GROUP BY e.src) m ON v.id = m.id)",
+            f"hn{i} AS (SELECT CASE WHEN sqrt(sum(h_raw*h_raw)) > 0 "
+            f"THEN sqrt(sum(h_raw*h_raw)) ELSE 1.0 END AS nrm FROM hr{i})",
+            f"h{i} AS (SELECT id, h_raw / nrm AS hub FROM hr{i}, hn{i})",
+        ]
+        prev_h = f"h{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, round(a.authority, 6) AS auth_r, round(h.hub, 6) AS hub_r"
+        + f"\nFROM a{k} a JOIN h{k} h USING (id)"
+    )
+
+
+QUERIES["hits_k2"] = q_hits_k2
+ORACLES["hits_k2"] = _sql_hits(HITS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 4: link prediction (common-neighbor scores)
+# ---------------------------------------------------------------------------
+
+LP_WEIGHT_MIN, LP_MAX_DEGREE, LP_MIN_COMMON = 9.0, 200, 2
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction (algorithms/linkpred, Liben-
+    Nowell & Kleinberg 2003) over the strong-tie subgraph (weight >= 9):
+    Jaccard + Adamic-Adar + preferential attachment for non-edge pairs
+    sharing >= 2 neighbors, wedge-join generated (never all-pairs),
+    hub centers capped at degree 200."""
+    from fog_spark.algorithms.linkpred import common_neighbor_scores
+
+    e = cooccur_edges(spark, sf_dir).where(F.col("weight") >= LP_WEIGHT_MIN)
+    out = common_neighbor_scores(e, max_degree=LP_MAX_DEGREE, min_common=LP_MIN_COMMON)
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 6).alias("jaccard_r"),
+        F.round("adamic_adar", 6).alias("aa_r"),
+        F.col("pref_attach").cast("long").alias("pref_attach"),
+    )
+
+
+SQL_LINK_PREDICTION = f"""
+WITH {EDGES_CTE},
+st AS (SELECT src, dst FROM edges WHERE weight >= {LP_WEIGHT_MIN}),
+nsl AS (SELECT src, dst FROM st WHERE src <> dst),
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM nsl UNION ALL SELECT dst, src FROM nsl)),
+deg AS (SELECT src AS w, count(*) AS wdeg FROM sym GROUP BY src),
+adjw AS (SELECT s.src AS w, d.wdeg, s.dst AS x
+         FROM sym s JOIN deg d ON s.src = d.w WHERE d.wdeg <= {LP_MAX_DEGREE}),
+wed AS (SELECT l.wdeg, l.x AS a, r.x AS b
+        FROM adjw l JOIN adjw r ON l.w = r.w AND l.x < r.x),
+sc AS (SELECT a, b, count(*) AS common, sum(1.0 / ln(wdeg)) AS aa
+       FROM wed GROUP BY a, b HAVING count(*) >= {LP_MIN_COMMON}),
+ex AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+cand AS (SELECT sc.* FROM sc LEFT JOIN ex ON sc.a = ex.a AND sc.b = ex.b
+         WHERE ex.a IS NULL)
+SELECT c.a, c.b, c.common::BIGINT AS common,
+       round(c.common::DOUBLE / (da.wdeg + db.wdeg - c.common), 6) AS jaccard_r,
+       round(c.aa, 6) AS aa_r,
+       (da.wdeg * db.wdeg)::BIGINT AS pref_attach
+FROM cand c JOIN deg da ON c.a = da.w JOIN deg db ON c.b = db.w
+"""
+
+QUERIES["link_prediction"] = q_link_prediction
+ORACLES["link_prediction"] = SQL_LINK_PREDICTION

@@ -222,3 +222,27 @@ def test_node2vec_rejection_replayed_in_python(spark):
             prev, cur = cur, path[t]
     # the fixture must exercise all three paths
     assert n_rejects > 0 and n_fallbacks > 0
+
+
+def test_common_neighbor_scores_hand_computed(spark):
+    """Path a-w1-b plus a-w2-b square: (a,b) share {w1, w2}; existing
+    edges are excluded; scores match hand math; the degree cap drops
+    pairs witnessed only by capped hubs."""
+    import math
+
+    from fog_spark.algorithms.linkpred import common_neighbor_scores
+
+    # square 0-1-2-3-0 (undirected via symmetrize): 0 and 2 share {1,3}
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    rows = {(r["a"], r["b"]): r for r in common_neighbor_scores(edges).collect()}
+    assert set(rows) == {(0, 2), (1, 3)}
+    r = rows[(0, 2)]
+    assert r["common"] == 2 and r["pref_attach"] == 4
+    assert abs(r["jaccard"] - 2 / (2 + 2 - 2)) < 1e-12
+    assert abs(r["adamic_adar"] - 2 / math.log(2)) < 1e-12
+
+    # star center 4 with leaves 5..9: all leaf pairs witnessed ONLY by
+    # the center; capping it below its degree kills every candidate
+    star = spark.createDataFrame([(4, x) for x in range(5, 10)], "src long, dst long")
+    assert common_neighbor_scores(star).count() == 10  # C(5,2) leaf pairs
+    assert common_neighbor_scores(star, max_degree=4).count() == 0
