@@ -91,6 +91,10 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         from fog_spark.algorithms.spmv import spmv
 
         return spmv(edges, vertices=vertices)
+    if args.app == "hits":
+        from fog_spark.algorithms.hits import hits
+
+        return hits(edges, vertices, niters=args.niters, ctx=ctx)
     if args.app == "walks":
         from fog_spark.algorithms.walks import random_walks
 
@@ -161,7 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
-                 "kcore", "walks", "node2vec", "ppr", "tfidf", "asof"],
+                 "kcore", "hits", "walks", "node2vec", "ppr", "tfidf", "asof"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")

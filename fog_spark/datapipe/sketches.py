@@ -71,3 +71,58 @@ def kmv_distinct(
         F.least(F.col("n_distinct"), F.lit(k)).alias("n_seen"),
         est.alias("estimate"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols..., hvs): the raw bottom-k sketch per group — the k
+    smallest value hashes, ascending. This is the MERGEABLE form: the
+    bottom-k of a union equals the bottom-k of the concatenated
+    per-part bottom-k sets, so sketches roll up through any partial-
+    aggregation tree (see ``kmv_union_estimate``)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    d = df.select(*groups, value_col).distinct()
+    hashed = d.withColumn("hv", _kmv_hash(F.col(value_col)))
+    w = Window.partitionBy(*groups).orderBy("hv")
+    return (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .groupBy(*groups)
+        .agg(F.sort_array(F.collect_list("hv")).alias("hvs"))
+    )
+
+
+def kmv_union_estimate(
+    sketches: DataFrame,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge bottom-k sketches and estimate the distinct count of the
+    UNION of their underlying sets — without revisiting the data.
+
+    ``by=None`` merges every input row into one global estimate;
+    otherwise one merged estimate per ``by`` group (roll-up). Merge =
+    explode + distinct hv (equal values hash equally across sketches)
+    + bottom-k again; estimate rule identical to ``kmv_distinct``.
+    """
+    groups = list(by) if by else []
+    ex = sketches.select(*groups, F.explode("hvs").alias("hv")).distinct()
+    w = Window.partitionBy(*groups).orderBy("hv") if groups else Window.orderBy("hv")
+    ranked = (
+        ex.withColumn("r", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(
+            Window.partitionBy(*groups) if groups else Window.partitionBy()))
+        .where(F.col("r") == F.least(F.col("n_distinct"), F.lit(k)))
+    )
+    est = F.when(
+        F.col("n_distinct") <= k, F.col("n_distinct").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("hv") / F.lit(float(2 ** _KMV_BITS))))
+    return ranked.select(
+        *groups,
+        F.least(F.col("n_distinct"), F.lit(k)).alias("n_seen"),
+        est.alias("estimate"),
+    )

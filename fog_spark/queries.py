@@ -2229,3 +2229,75 @@ FROM cand c JOIN deg da ON c.a = da.w JOIN deg db ON c.b = db.w
 
 QUERIES["link_prediction"] = q_link_prediction
 ORACLES["link_prediction"] = SQL_LINK_PREDICTION
+
+
+# ---------------------------------------------------------------------------
+# round 4: whole-graph summary statistics
+# ---------------------------------------------------------------------------
+
+
+def q_graph_stats(spark, sf_dir):
+    """One-row link-graph summary: vertex/edge counts, degree moments,
+    and degree assortativity (Newman 2002) — the Pearson correlation of
+    endpoint degrees over the symmetrized simple graph, computed from
+    EXACT integer sums (one join + one aggregation; the only floats are
+    the final closed-form divisions, so the oracle matches at 6dp)."""
+    from fog_spark.engine.superstep import symmetrize
+
+    sym = symmetrize(cooccur_edges(spark, sf_dir)).distinct()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    verts = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("d").alias("max_degree"),
+        F.sum("d").alias("sum_deg"),
+    )
+    r_num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.crossJoin(verts).select(
+        "n_vertices",
+        (F.col("m") / 2).cast("long").alias("n_undirected_edges"),
+        F.round(F.col("sum_deg") / F.col("n_vertices"), 6).alias("avg_degree_r"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+        F.round(r_num / r_den, 6).alias("assortativity_r"),
+    )
+
+
+SQL_GRAPH_STATS = f"""
+WITH {EDGES_CTE},
+nsl AS (SELECT src, dst FROM edges WHERE src <> dst),
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM nsl UNION ALL SELECT dst, src FROM nsl)),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+e AS (SELECT dx.d AS dx, dy.d AS dy FROM sym
+      JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v),
+s AS (SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+             sum(dx*dy)::BIGINT AS sxy, sum(dx*dx)::BIGINT AS sxx,
+             sum(dy*dy)::BIGINT AS syy FROM e),
+v AS (SELECT count(*)::BIGINT AS n_vertices, max(d)::BIGINT AS max_degree,
+             sum(d)::BIGINT AS sum_deg FROM deg)
+SELECT v.n_vertices,
+       (s.m // 2)::BIGINT AS n_undirected_edges,
+       round(v.sum_deg::DOUBLE / v.n_vertices, 6) AS avg_degree_r,
+       v.max_degree,
+       round((s.m * s.sxy - s.sx * s.sy)::DOUBLE
+             / (sqrt((s.m * s.sxx - s.sx * s.sx)::DOUBLE)
+                * sqrt((s.m * s.syy - s.sy * s.sy)::DOUBLE)), 6) AS assortativity_r
+FROM s, v
+"""
+
+QUERIES["graph_stats"] = q_graph_stats
+ORACLES["graph_stats"] = SQL_GRAPH_STATS

@@ -450,3 +450,28 @@ def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
     n_seen, est = out[1]
     assert n_seen == 64
     assert abs(est - 5000) / 5000 < 0.5  # ~4 standard errors at k=64
+
+
+def test_kmv_sketches_merge_exactly(spark):
+    """Mergeability, executable: per-part bottom-k sketches rolled up
+    with kmv_union_estimate give EXACTLY the estimate kmv_distinct
+    computes over the combined data — the identity a partial-agg tree
+    at 100 TB relies on."""
+    from pyspark.sql import functions as F
+
+    from fog_spark.datapipe.sketches import kmv_distinct, kmv_sketch, kmv_union_estimate
+
+    rows = [(v % 7, f"val{v}") for v in range(3000)]  # 7 parts, overlapping values? no: distinct per v
+    rows += [(p, f"shared{s}") for p in range(7) for s in range(200)]  # heavy overlap across parts
+    df = spark.createDataFrame(rows, "part long, v string")
+    k = 32
+    merged = kmv_union_estimate(kmv_sketch(df, "part", "v", k=k), k=k).collect()
+    direct = kmv_distinct(
+        df.withColumn("g", F.lit(0)), "g", "v", k=k
+    ).collect()
+    assert len(merged) == 1 and len(direct) == 1
+    assert merged[0]["estimate"] == direct[0]["estimate"]  # exactly equal, not close
+    assert merged[0]["n_seen"] == direct[0]["n_seen"] == k
+    # and the estimate is in the KMV error envelope of the true count
+    true = df.select("v").distinct().count()
+    assert abs(merged[0]["estimate"] - true) / true < 0.6
