@@ -10,3 +10,4 @@ from fog_spark.algorithms.scc import strongly_connected_components  # noqa: F401
 from fog_spark.algorithms.kcore import k_core  # noqa: F401
 from fog_spark.algorithms.hits import hits  # noqa: F401
 from fog_spark.algorithms.linkpred import common_neighbor_scores  # noqa: F401
+from fog_spark.algorithms.msbfs import multi_source_bfs  # noqa: F401

@@ -2301,3 +2301,40 @@ FROM s, v
 
 QUERIES["graph_stats"] = q_graph_stats
 ORACLES["graph_stats"] = SQL_GRAPH_STATS
+
+
+# ---------------------------------------------------------------------------
+# round 4: multi-source BFS (landmark distances)
+# ---------------------------------------------------------------------------
+
+MSBFS_ROOTS = (0, 1, 2, 97)
+MSBFS_CAP = 30  # oracle recursion bound; >> graph diameter at test scale
+
+
+def q_msbfs(spark, sf_dir):
+    """Landmark distances (algorithms/msbfs.multi_source_bfs): all four
+    roots in ONE sparse frontier loop, run to convergence; output only
+    reached (id, root, dist) triples."""
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    out = multi_source_bfs(edges, list(MSBFS_ROOTS))
+    edges.unpersist()
+    return out
+
+
+SQL_MSBFS = f"""
+WITH RECURSIVE {EDGES_CTE},
+nsl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+r AS (
+  SELECT root::BIGINT AS id, root::BIGINT AS root, 0 AS dist
+  FROM (VALUES {", ".join(f"({r})" for r in MSBFS_ROOTS)}) t(root)
+  UNION
+  SELECT e.dst AS id, r.root, r.dist + 1 AS dist
+  FROM r JOIN nsl e ON e.src = r.id WHERE r.dist < {MSBFS_CAP}
+)
+SELECT id, root, min(dist)::BIGINT AS dist FROM r GROUP BY id, root
+"""
+
+QUERIES["msbfs"] = q_msbfs
+ORACLES["msbfs"] = SQL_MSBFS

@@ -67,3 +67,35 @@ def test_sssp_unreached(spark):
     out = sssp(graph_to_spark(spark, g), 0, vertices)
     rows = {r["id"]: (r["dist"], r["pred"]) for r in out.collect()}
     assert rows[6] == (float("inf"), -1)
+
+
+def test_multi_source_bfs_matches_per_root_numpy(spark):
+    """Sparse multi-source BFS == k independent numpy BFS runs, with
+    unreached pairs ABSENT (incl. a root with no out-edges)."""
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+
+    g = GRAPHS["g_dag"]
+    roots = [0, 2, g.n - 1]
+    got = {(r["id"], r["root"]): r["dist"]
+           for r in multi_source_bfs(graph_to_spark(spark, g), roots).collect()}
+    for root in roots:
+        lv = oracles.bfs(g.edges, g.n, root=root)
+        for v in range(g.n):
+            if lv[v] == oracles.UNREACHED:
+                assert (v, root) not in got
+            else:
+                assert got[(v, root)] == lv[v], (v, root)
+
+
+def test_multi_source_bfs_resume(spark, tmp_path):
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+    from fog_spark.engine.checkpoint import RunContext
+
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    clean = {tuple(r) for r in multi_source_bfs(edges, [0, 5]).collect()}
+    ctx1 = RunContext(spark, str(tmp_path), "runM")
+    multi_source_bfs(edges, [0, 5], max_iters=1, ctx=ctx1)  # crash after 1 step
+    ctx2 = RunContext(spark, str(tmp_path), "runM")
+    resumed = {tuple(r) for r in multi_source_bfs(edges, [0, 5], ctx=ctx2).collect()}
+    assert resumed == clean
