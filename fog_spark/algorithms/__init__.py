@@ -11,3 +11,4 @@ from fog_spark.algorithms.kcore import k_core  # noqa: F401
 from fog_spark.algorithms.hits import hits  # noqa: F401
 from fog_spark.algorithms.linkpred import common_neighbor_scores  # noqa: F401
 from fog_spark.algorithms.msbfs import multi_source_bfs  # noqa: F401
+from fog_spark.algorithms.walks import weighted_random_walks  # noqa: F401

@@ -408,3 +408,123 @@ def node2vec_walks_rejection(
             for i in range(0, len(parts), 2)
         ]
     return parts[0]
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    weight_col: str = "weight",
+    weight_scale: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    attempts: int = 8,
+    vertices: DataFrame | None = None,
+    plan_cuts: bool = True,
+) -> DataFrame:
+    """(walk_id, step, vertex): edge-weight-proportional first-order
+    walks — P(v -> x) ∝ weight(v, x) — via rejection sampling, the same
+    KnightKing shape as ``node2vec_walks_rejection`` but with the
+    accept weight read off the traversed edge itself (no membership
+    join needed).
+
+    Weights become integers as ``round(weight * weight_scale)`` (must
+    be >= 1; exact when the source weights are fixed-point decimals,
+    e.g. scale 10 for one decimal place), so every accept test and the
+    cumulative fallback are exact integer math an external SQL oracle
+    replays. Accept bound = the GLOBAL max integer weight; per step, up
+    to ``attempts`` uniform (src, idx) point-lookup draws are batched
+    into one exploded join, first accepting attempt wins, and the
+    residue — expected fraction (1 - w_min/w_max)^attempts — falls back
+    to the exact cumulative-weight pick. Distribution-exact end to end.
+    """
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    _cut = (lambda df: df.localCheckpoint(eager=False)) if plan_cuts else (lambda df: df)
+    w_int = F.round(F.col(weight_col) * weight_scale).cast("long")
+    ew = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w_int.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))  # dedup parallel edges deterministically
+    )
+    wnd = Window.partitionBy("src").orderBy("dst")
+    adj = _cut(
+        ew.withColumn("idx", F.row_number().over(wnd) - 1)
+        .withColumn("outdeg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .withColumn(
+            "cum", F.sum("w").over(wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .withColumn("tot", F.sum("w").over(Window.partitionBy("src")))
+    )
+    w_max = adj.agg(F.max("w")).collect()[0][0]
+    if w_max is None:
+        return edges.sparkSession.createDataFrame([], "walk_id long, step int, vertex long")
+    if w_max < 1:
+        raise ValueError("integer weights must be >= 1 (raise weight_scale)")
+    deg = adj.where(F.col("idx") == 0).select(
+        F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")
+    )
+    adj2 = _cut(
+        adj.join(deg, adj["dst"] == deg["d_id"], "left")
+        .select("src", "idx", "dst", "w", F.col("d_outdeg").alias("dst_outdeg"))
+    )
+    if vertices is None:
+        from fog_spark.engine.superstep import vertices_of
+
+        vertices = _cut(vertices_of(edges))
+    starts = vertices.select(
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)])).alias("rep"),
+        F.col("id").alias("vertex"),
+    ).select(
+        (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"), "vertex"
+    )
+    cur = _cut(
+        starts.join(deg, starts["vertex"] == deg["d_id"], "left")
+        .select("walk_id", "vertex", F.col("d_outdeg").alias("outdeg"))
+    )
+    parts = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    attempt_arr = F.array(*[F.lit(a) for a in range(attempts)])
+    for t in range(1, length + 1):
+        live = cur
+        exploded = live.select(
+            "walk_id", "vertex", "outdeg", F.explode(attempt_arr).alias("a")
+        )
+        tagc = F.concat(F.lit(f"{t}:"), F.col("a"), F.lit(":c"))
+        tagr = F.concat(F.lit(f"{t}:"), F.col("a"), F.lit(":r"))
+        pick = F.pmod(_hash_tag(F.col("walk_id"), tagc, seed), F.col("outdeg"))
+        drawn = exploded.withColumn("pick_idx", pick).join(
+            adj2,
+            (exploded["vertex"] == adj2["src"]) & (F.col("pick_idx") == adj2["idx"]),
+        ).select(
+            "walk_id", "a", "w",
+            F.col("dst").alias("cand"), F.col("dst_outdeg").alias("cand_outdeg"),
+        )
+        acc = F.pmod(_hash_tag(F.col("walk_id"), tagr, seed), F.lit(int(w_max))) < F.col("w")
+        winners = (
+            drawn.where(acc)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("a", "cand", "cand_outdeg")).alias("b"))
+            .select(
+                "walk_id",
+                F.col("b.cand").alias("vertex"),
+                F.col("b.cand_outdeg").alias("outdeg"),
+            )
+        )
+        residue = live.join(winners.select("walk_id"), "walk_id", "left_anti")
+        r = F.pmod(_hash_tag(F.col("walk_id"), f"{t}:f", seed), F.col("tot"))
+        fbj = residue.join(adj, residue["vertex"] == adj["src"]).where(
+            (r >= F.col("cum") - F.col("w")) & (r < F.col("cum"))
+        )
+        fb_next = fbj.join(deg, fbj["dst"] == deg["d_id"], "left").select(
+            "walk_id",
+            F.col("dst").alias("vertex"),
+            F.col("d_outdeg").alias("outdeg"),
+        )
+        cur = _cut(winners.unionByName(fb_next))
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

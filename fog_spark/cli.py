@@ -96,8 +96,15 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
 
         return hits(edges, vertices, niters=args.niters, ctx=ctx)
     if args.app == "walks":
-        from fog_spark.algorithms.walks import random_walks
+        from fog_spark.algorithms.walks import random_walks, weighted_random_walks
 
+        if args.weighted:
+            if "weight" not in edges.columns:
+                raise ValueError("--weighted needs a 'weight' column on the edge input")
+            return weighted_random_walks(
+                edges, length=args.length, walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed, attempts=args.attempts, vertices=vertices,
+            )
         return random_walks(
             edges, length=args.length, walks_per_vertex=args.walks_per_vertex,
             seed=args.seed, vertices=vertices,
@@ -178,6 +185,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42, help="walks/node2vec: hash seed")
     p.add_argument("--p", type=int, default=1, help="node2vec return parameter (integer)")
     p.add_argument("--q", type=int, default=1, help="node2vec in-out parameter (integer)")
+    p.add_argument("--weighted", action="store_true",
+                   help="walks: edge-weight-proportional picks (rejection-sampled)")
     p.add_argument("--sampler", choices=["exact", "rejection"], default="exact",
                    help="node2vec: exact gather vs KnightKing-style rejection "
                         "(point lookups; use on hub-heavy graphs)")

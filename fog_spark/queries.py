@@ -2338,3 +2338,82 @@ SELECT id, root, min(dist)::BIGINT AS dist FROM r GROUP BY id, root
 
 QUERIES["msbfs"] = q_msbfs
 ORACLES["msbfs"] = SQL_MSBFS
+
+
+# ---------------------------------------------------------------------------
+# round 4: weighted random walks (edge-weight-proportional, rejection)
+# ---------------------------------------------------------------------------
+
+WW_ATTEMPTS, WW_SCALE = 2, 10
+
+
+def q_weighted_walks_k3(spark, sf_dir):
+    """Edge-weight-proportional walk corpus (walks.weighted_random_walks):
+    P(v->x) ∝ weight(v,x), rejection-sampled against the global max
+    integer weight with the exact cumulative fallback; every draw,
+    accept bit, and fallback replayed by the oracle. weight*10 is an
+    exact integer on this table (one-decimal fixed point)."""
+    from fog_spark.algorithms.walks import weighted_random_walks
+
+    out = weighted_random_walks(
+        cooccur_edges(spark, sf_dir), length=3, weight_scale=WW_SCALE,
+        seed=42, attempts=WW_ATTEMPTS,
+    )
+    return out.select("walk_id", F.col("step").cast("long").alias("step"), "vertex")
+
+
+def _sql_weighted_walks(k: int, attempts: int, seed: int = 42, scale: int = 10) -> str:
+    steps = []
+    for t in range(1, k + 1):
+        steps.append(f"L{t}_0 AS (SELECT walk_id, vertex FROM W{t-1})")
+        acc_names = []
+        for a in range(attempts):
+            hc = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:c-{seed}')")
+            hr = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:r-{seed}')")
+            steps.append(
+                f"D{t}_{a} AS (SELECT l.walk_id, l.vertex, a2.dst AS cand, a2.w,\n"
+                f"  ({hr} % wm.m) AS acc\n"
+                f"  FROM L{t}_{a} l JOIN degv dv ON dv.src = l.vertex\n"
+                f"  JOIN adj a2 ON a2.src = l.vertex AND a2.idx = ({hc} % dv.outdeg), wmax wm)"
+            )
+            steps.append(
+                f"A{t}_{a} AS (SELECT walk_id, cand AS vertex FROM D{t}_{a} WHERE acc < w)"
+            )
+            steps.append(
+                f"L{t}_{a + 1} AS (SELECT walk_id, vertex FROM D{t}_{a} WHERE acc >= w)"
+            )
+            acc_names.append(f"A{t}_{a}")
+        hf = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:f-{seed}')")
+        steps.append(
+            f"FB{t} AS (SELECT l.walk_id, a2.dst AS vertex\n"
+            f"  FROM L{t}_{attempts} l JOIN adj a2 ON a2.src = l.vertex\n"
+            f"  WHERE ({hf} % a2.tot) >= a2.cum - a2.w AND ({hf} % a2.tot) < a2.cum)"
+        )
+        union = " UNION ALL ".join(f"SELECT * FROM {nm}" for nm in acc_names + [f"FB{t}"])
+        steps.append(f"W{t} AS (SELECT walk_id, {t}::BIGINT AS step, vertex FROM ({union}))")
+    final_union = " UNION ALL ".join(
+        ["SELECT walk_id, step, vertex FROM W0"]
+        + [f"SELECT walk_id, step, vertex FROM W{t}" for t in range(1, k + 1)]
+    )
+    return f"""
+WITH {EDGES_CTE},
+ew AS (SELECT src, dst, max(round(weight * {scale})::BIGINT) AS w
+       FROM edges WHERE src <> dst GROUP BY src, dst),
+adj AS (SELECT src, dst, w,
+        row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+        count(*) OVER (PARTITION BY src) AS outdeg,
+        sum(w) OVER (PARTITION BY src ORDER BY dst
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(w) OVER (PARTITION BY src) AS tot
+        FROM ew),
+wmax AS (SELECT max(w) AS m FROM adj),
+degv AS (SELECT src, outdeg FROM adj WHERE idx = 0),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
+{','.join(steps)}
+{final_union}
+"""
+
+
+QUERIES["weighted_walks_k3"] = q_weighted_walks_k3
+ORACLES["weighted_walks_k3"] = _sql_weighted_walks(3, WW_ATTEMPTS)

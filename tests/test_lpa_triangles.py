@@ -246,3 +246,59 @@ def test_common_neighbor_scores_hand_computed(spark):
     star = spark.createDataFrame([(4, x) for x in range(5, 10)], "src long, dst long")
     assert common_neighbor_scores(star).count() == 10  # C(5,2) leaf pairs
     assert common_neighbor_scores(star, max_degree=4).count() == 0
+
+
+def test_weighted_walks_replayed_in_python(spark):
+    """Edge-weight-proportional walks (rejection + exact fallback) must
+    match a python replay: uniform draw, accept iff hash mod w_max <
+    w(edge), first accept wins; residue -> cumulative weighted pick."""
+    import hashlib
+
+    from fog_spark.algorithms.walks import weighted_random_walks
+
+    raw = [(0, 1, 0.1), (0, 2, 0.9), (1, 2, 0.5), (2, 0, 0.3),
+           (2, 3, 0.7), (3, 0, 1.0), (1, 0, 0.2)]
+    seed, length, attempts, scale = 3, 5, 2, 10
+    edges = spark.createDataFrame(raw, "src long, dst long, weight double")
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in sorted(raw):
+        adj.setdefault(s, []).append((d, round(w * scale)))
+    w_max = max(w for nbrs in adj.values() for _, w in nbrs)
+
+    def h(wid, tag):
+        return int(hashlib.md5(f"{wid}-{tag}-{seed}".encode()).hexdigest()[:8], 16)
+
+    rows = weighted_random_walks(
+        edges, length=length, weight_scale=scale, seed=seed, attempts=attempts).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    assert set(walks) == {0, 1, 2, 3}
+    n_fb = 0
+    for wid, path in walks.items():
+        cur = path[0]
+        assert cur == wid
+        for t in range(1, length + 1):
+            if cur not in adj:
+                assert t not in path
+                break
+            nbrs = adj[cur]
+            expected = None
+            for a in range(attempts):
+                cand, w = nbrs[h(wid, f"{t}:{a}:c") % len(nbrs)]
+                if h(wid, f"{t}:{a}:r") % w_max < w:
+                    expected = cand
+                    break
+            if expected is None:
+                n_fb += 1
+                tot = sum(w for _, w in nbrs)
+                r = h(wid, f"{t}:f") % tot
+                cum = 0
+                for cand, w in nbrs:
+                    cum += w
+                    if r < cum:
+                        expected = cand
+                        break
+            assert path[t] == expected, (wid, t, path[t], expected)
+            cur = path[t]
+    assert n_fb > 0  # low weights + 2 attempts must exercise the fallback
