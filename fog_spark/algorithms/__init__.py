@@ -1,4 +1,4 @@
-from fog_spark.algorithms.pagerank import pagerank_fog, pagerank_personalized, pagerank_standard  # noqa: F401
+from fog_spark.algorithms.pagerank import pagerank_fog, pagerank_personalized, pagerank_standard, pagerank_weighted  # noqa: F401
 from fog_spark.algorithms.walks import node2vec_walks, random_walks  # noqa: F401
 from fog_spark.algorithms.cc import connected_components  # noqa: F401
 from fog_spark.algorithms.bfs import bfs_levels  # noqa: F401

@@ -267,6 +267,101 @@ def pagerank_standard(
 
 
 # ---------------------------------------------------------------------------
+# Weighted mode (edge-weight-proportional transitions, convergent)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    weight_col: str = "weight",
+    d: float = DAMPING,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+    ctx=None,
+) -> tuple[DataFrame, int]:
+    """Normalized PageRank with edge-weight-proportional transitions:
+    a surfer at u follows edge (u, v) with probability
+    weight(u,v) / Σ_x weight(u,x). Real link graphs are weighted
+    (co-occurrence counts, import multiplicity); the uniform engine
+    ignores that signal. Returns ((id, rank), iterations_run).
+
+    The transition probability ``p = w / wsum(src)`` is attached to the
+    edge table ONCE before the loop (one keyed join), so every
+    superstep is the same scatter-join + sum-gather as the uniform
+    engine — msg = rank * p instead of rank / outdeg. Dangling =
+    vertices with no (positive-weight) out-edges, redistributed
+    uniformly; delta and next-round dangling ride the materialize job
+    as observed metrics (one job per superstep). ``tol=0.0`` +
+    ``max_iters=k`` is the fixed-depth oracle form.
+    """
+    vertices = vertices if vertices is not None else vertices_of(edges)
+    e = edges.select("src", "dst", F.col(weight_col).alias("w")).filter(F.col("w") > 0)
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wsum"))
+    pe = (
+        e.join(wsum, "src")
+        .select("src", "dst", (F.col("w") / F.col("wsum")).alias("p"))
+        .localCheckpoint(eager=False)  # one concrete RDD for all supersteps
+    )
+    state = (
+        vertices.join(wsum, vertices["id"] == wsum["src"], "left")
+        .select("id", F.col("wsum").isNotNull().alias("has_out"))
+        .withColumn("rank", F.lit(0.0))
+        .withColumn("prev", F.lit(0.0))
+    )
+    n = state.count()
+    if n == 0:
+        return state.select("id", "rank"), 0
+    state = state.withColumn("rank", F.lit(1.0 / n))
+
+    start_it = 0
+    if ctx is not None:
+        rp = ctx.resume_point()
+        if rp is not None:
+            start_it, state = rp
+            rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})
+            if rec.get("delta") is not None and rec["delta"] < tol:
+                return state.select("id", "rank"), start_it
+    if start_it == 0:
+        state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
+
+    dangling = state.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
+
+    it = start_it
+    for it in range(start_it + 1, max_iters + 1):
+        t0 = time.time()
+        st = maybe_broadcast(state, n)
+        msgs = pe.join(st, pe["src"] == st["id"]).select(
+            pe["dst"], (F.col("rank") * F.col("p")).alias("msg")
+        )
+        agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
+        state = (
+            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            .select(
+                "id",
+                "has_out",
+                F.col("rank").alias("prev"),
+                ((1.0 - d) / n + d * (F.coalesce("contrib", F.lit(0.0)) + dangling / n)).alias("rank"),
+            )
+        )
+        state, om = materialize_observed(
+            state,
+            [
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("delta"),
+                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+            ],
+            ctx,
+            it,
+        )
+        delta, dangling = float(om["delta"] or 0.0), float(om["dangling"] or 0.0)
+        if ctx is not None:
+            ctx.commit(it, active=n, delta=delta, wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+        if delta < tol:
+            break
+    return state.select("id", "rank"), it
+
+
+# ---------------------------------------------------------------------------
 # Personalized mode (seeded teleport, convergent)
 # ---------------------------------------------------------------------------
 

@@ -308,3 +308,31 @@ def hits(edges: np.ndarray, n: int, niters: int = 10) -> tuple[np.ndarray, np.nd
         nrm = np.sqrt((h_raw * h_raw).sum())
         h = h_raw / (nrm if nrm > 0 else 1.0)
     return a, h
+
+
+def pagerank_weighted(
+    edges: np.ndarray,
+    weights: np.ndarray,
+    n: int,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 200,
+) -> tuple[np.ndarray, int]:
+    """Edge-weight-proportional PageRank; dangling uniform."""
+    src, dst = edges[:, 0], edges[:, 1]
+    keep = weights > 0
+    src, dst, w = src[keep], dst[keep], weights[keep].astype(np.float64)
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, w)
+    p = w / wsum[src]
+    dangling = wsum == 0
+    rank = np.full(n, 1.0 / n)
+    for it in range(1, max_iters + 1):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] * p)
+        new = (1.0 - d) / n + d * (contrib + rank[dangling].sum() / n)
+        delta = np.abs(new - rank).max()
+        rank = new
+        if delta < tol:
+            return rank, it
+    return rank, max_iters

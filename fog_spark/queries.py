@@ -2417,3 +2417,87 @@ W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 
 QUERIES["weighted_walks_k3"] = q_weighted_walks_k3
 ORACLES["weighted_walks_k3"] = _sql_weighted_walks(3, WW_ATTEMPTS)
+
+
+def q_harmonic_landmarks(spark, sf_dir):
+    """Landmark-estimated harmonic centrality: sum over reached
+    landmarks of 1/dist (self-pairs excluded) — the standard sampled
+    estimator (Boldi & Vigna 2014), composed directly from
+    multi_source_bfs; exact integer dists so the float sum matches the
+    oracle at 6dp."""
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    d = multi_source_bfs(edges, list(MSBFS_ROOTS))
+    edges.unpersist()
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_landmarks"),
+            F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic_r"),
+        )
+    )
+
+
+# reuses the msbfs recursion, folding min-dist into the harmonic sum
+SQL_HARMONIC_LANDMARKS = SQL_MSBFS.replace(
+    "SELECT id, root, min(dist)::BIGINT AS dist FROM r GROUP BY id, root",
+    """, d AS (SELECT id, root, min(dist) AS dist FROM r GROUP BY id, root)
+SELECT id, count(*)::BIGINT AS n_landmarks,
+       round(sum(1.0 / dist), 6) AS harmonic_r
+FROM d WHERE dist > 0 GROUP BY id""",
+)
+
+QUERIES["harmonic_landmarks"] = q_harmonic_landmarks
+ORACLES["harmonic_landmarks"] = SQL_HARMONIC_LANDMARKS
+
+
+# ---------------------------------------------------------------------------
+# round 4: weighted PageRank (edge-weight-proportional transitions)
+# ---------------------------------------------------------------------------
+
+WPR_ROUNDS = 3
+
+
+def q_pagerank_weighted_k3(spark, sf_dir):
+    """Edge-weight-proportional PageRank (pagerank_weighted), exactly 3
+    supersteps (tol=0 fixed-depth form; convergence is numpy-oracled in
+    pytest). The co-occurrence weight column drives the transition
+    probabilities."""
+    from fog_spark.algorithms.pagerank import pagerank_weighted
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    ranks, _ = pagerank_weighted(edges, tol=0.0, max_iters=WPR_ROUNDS)
+    edges.unpersist()
+    return ranks.select("id", F.round("rank", 8).alias("rank_r"))
+
+
+def _sql_pagerank_weighted(k: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "e AS (SELECT src, dst, weight AS w FROM edges WHERE weight > 0)",
+        "ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src)",
+        "pe AS (SELECT e.src, e.dst, e.w / ws.wsum AS p FROM e JOIN ws USING (src))",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "vd AS (SELECT v.id, (ws.src IS NOT NULL) AS has_out FROM verts v LEFT JOIN ws ON v.id = ws.src)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vd.id, vd.has_out, 1.0::DOUBLE / nn.n AS rank FROM vd, nn)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dang FROM r{i-1} WHERE NOT has_out)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT r.id, r.has_out, "
+            f"(1.0::DOUBLE - 0.85::DOUBLE) / nn.n "
+            f"+ 0.85::DOUBLE * (coalesce(m.s, 0.0::DOUBLE) + d.dang / nn.n) AS rank "
+            f"FROM r{i-1} r LEFT JOIN (SELECT pe.dst, sum(r.rank * pe.p) AS s "
+            f"FROM pe JOIN r{i-1} r ON pe.src = r.id GROUP BY pe.dst) m ON r.id = m.dst, "
+            f"d{i} d, nn)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 8) AS rank_r FROM r{k}"
+
+
+QUERIES["pagerank_weighted_k3"] = q_pagerank_weighted_k3
+ORACLES["pagerank_weighted_k3"] = _sql_pagerank_weighted(WPR_ROUNDS)

@@ -133,3 +133,27 @@ def test_hits_resume_matches_clean(spark, tmp_path):
     a = sorted(clean); b = sorted(resumed)
     assert np.allclose([x[1] for x in a], [x[1] for x in b], rtol=1e-12)
     assert np.allclose([x[2] for x in a], [x[2] for x in b], rtol=1e-12)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted transitions vs the numpy oracle; a zero-weight edge is
+    equivalent to no edge (its source can even become dangling)."""
+    from fog_spark.algorithms.pagerank import pagerank_weighted
+
+    g = GRAPHS["g_er_n100"]
+    expected, _ = oracles.pagerank_weighted(g.edges, g.weights(), g.n, tol=1e-10)
+    vertices = spark.range(g.n).select("id")
+    edges = graph_to_spark(spark, g)  # carries the deterministic weight col
+    got_df, iters = pagerank_weighted(edges, vertices, tol=1e-10)
+    got = _ranks(got_df, g.n)
+    assert np.allclose(got, expected, atol=1e-8)
+    assert iters > 1
+    assert abs(got.sum() - 1.0) < 1e-8
+
+    # hand case: 0 -> {1 (w=3), 2 (w=1)}: vertex 1 gets 3x vertex 2's inflow
+    e2 = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double")
+    r = {row["id"]: row["rank"] for row in pagerank_weighted(e2, tol=1e-12)[0].collect()}
+    d = 0.85
+    assert abs((r[1] - (1 - d) / 3) - 3 * (r[2] - (1 - d) / 3)) < 1e-9
