@@ -122,6 +122,21 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
             edges, length=args.length, p=args.p, q=args.q,
             walks_per_vertex=args.walks_per_vertex, seed=args.seed, vertices=vertices,
         )
+    if args.app == "msbfs":
+        from fog_spark.algorithms.msbfs import multi_source_bfs
+
+        if not args.seeds:
+            raise ValueError("--app msbfs requires --seeds id[,id...] (the landmark roots)")
+        return multi_source_bfs(
+            edges, [int(s) for s in args.seeds.split(",")],
+            max_iters=args.max_iters, ctx=ctx,
+        )
+    if args.app == "linkpred":
+        from fog_spark.algorithms.linkpred import common_neighbor_scores
+
+        return common_neighbor_scores(
+            edges, max_degree=args.max_degree, min_common=args.min_common
+        )
     if args.app == "ppr":
         from fog_spark.algorithms.pagerank import pagerank_personalized
 
@@ -172,7 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
-                 "kcore", "hits", "walks", "node2vec", "ppr", "tfidf", "asof"],
+                 "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
+                 "tfidf", "asof"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -192,7 +208,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(point lookups; use on hub-heavy graphs)")
     p.add_argument("--attempts", type=int, default=8,
                    help="node2vec rejection: batched draws per step before exact fallback")
-    p.add_argument("--seeds", default=None, help="ppr: comma-separated seed vertex ids")
+    p.add_argument("--seeds", default=None,
+                   help="ppr/msbfs: comma-separated seed/landmark vertex ids")
+    p.add_argument("--max-degree", type=int, default=10_000,
+                   help="linkpred: exclude shared-neighbor centers above this degree")
+    p.add_argument("--min-common", type=int, default=1,
+                   help="linkpred: minimum shared neighbors per candidate pair")
     p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document")
     p.add_argument("--right", default=None, help="asof: right-side parquet table")
     p.add_argument("--on", default=None, help="asof: join key column(s), comma-separated")

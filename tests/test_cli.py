@@ -142,3 +142,24 @@ def test_cli_node2vec_rejection_sampler(spark, tmp_path):
     expect = sorted(map(tuple, node2vec_walks_rejection(
         read_edgelist(spark, path), length=3, p=2, q=3, seed=7, attempts=4).collect()))
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+
+def test_cli_msbfs_and_linkpred(spark, tmp_path):
+    g = named_graphs()["g_dag"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "ms")
+    rc = main(["--graph", path, "--app", "msbfs", "--seeds", "0,2", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+    from fog_spark.sources.edgelist import read_edgelist
+
+    expect = sorted(map(tuple, multi_source_bfs(read_edgelist(spark, path), [0, 2]).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+    out2 = str(tmp_path / "lp")
+    rc = main(["--graph", path, "--app", "linkpred", "--min-common", "1", "--out", out2], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.linkpred import common_neighbor_scores
+
+    expect2 = sorted(map(tuple, common_neighbor_scores(read_edgelist(spark, path)).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
