@@ -35,8 +35,15 @@ def common_neighbor_scores(
 ) -> DataFrame:
     """(a, b, common, jaccard, adamic_adar, pref_attach) for candidate
     (non-edge) pairs with >= ``min_common`` shared neighbors, a < b."""
-    sym = symmetrize(edges).distinct()  # simple undirected adjacency
-    deg = sym.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("wdeg"))
+    # one concrete RDD for the adjacency: it feeds the wedge join twice,
+    # the existing-edge anti-join, and (via deg) three degree lookups —
+    # without the cut each reference re-executes the upstream edge
+    # derivation (Spark does not dedupe identical subplans, measured in
+    # the walks work this round)
+    sym = symmetrize(edges).distinct().localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("wdeg")
+    ).localCheckpoint(eager=False)
     centers = deg if max_degree is None else deg.filter(F.col("wdeg") <= max_degree)
     adjw = sym.select(F.col("src").alias("w"), F.col("dst").alias("x")).join(centers, "w")
     a = adjw.select("w", "wdeg", F.col("x").alias("a"))

@@ -2244,7 +2244,9 @@ def q_graph_stats(spark, sf_dir):
     the final closed-form divisions, so the oracle matches at 6dp)."""
     from fog_spark.engine.superstep import symmetrize
 
-    sym = symmetrize(cooccur_edges(spark, sf_dir)).distinct()
+    # one concrete RDD: sym feeds the endpoint join plus two degree
+    # references (identical subplans are not deduped, see walks)
+    sym = symmetrize(cooccur_edges(spark, sf_dir)).distinct().localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
     e = (
         sym.join(deg.select(F.col("v").alias("src"), F.col("d").alias("dx")), "src")
