@@ -124,21 +124,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(a_id, b_id, jaccard) with n-gram Jaccard >= threshold.
 
-    With ``candidates`` (from LSH): verifies only those pairs — the
-    scale path. Without: all-pairs via shingle join — small data only.
+    With ``candidates`` (from LSH): CANDIDATE-FIRST verification — the
+    scale path. The intersection size is computed as
+    ``candidates ⋈ a-shingles ⋈ (b_id, t)``: fan the candidate pairs
+    out by the a-side's shingles, then equi-join the b-side shingle
+    table on BOTH (b_id, t). Work is O(|candidates| × shingles/doc)
+    regardless of shingle frequency. (The naive alternative — full
+    token self-join then semi-join the pairs — lets one hot shingle
+    shared by d documents stream O(d²) rows before the restriction can
+    apply, because the semi's condition spans both sides of the token
+    join and cannot be pushed below it.)
+
+    Without ``candidates``: all-pairs via shingle join — small data only.
     """
     sh = word_ngrams(docs, ngram, id_col, text_col).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("a_id"), "t")
-    b = sh.select(F.col("id").alias("b_id"), "t")
-    common = (
-        a.join(b, "t")
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["a_id", "b_id"], "left_semi")
+        cand = candidates.select("a_id", "b_id").distinct()
+        fan = cand.join(
+            sh.select(F.col("id").alias("a_id"), "t"), "a_id"
+        )  # (a_id, b_id, t): one row per candidate-pair × a-shingle
+        common = (
+            fan.join(sh.select(F.col("id").alias("b_id"), "t"), ["b_id", "t"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("a_id"), "t")
+        b = sh.select(F.col("id").alias("b_id"), "t")
+        common = (
+            a.join(b, "t")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     sa = sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb"))
     return (

@@ -66,6 +66,29 @@ def test_ngram_jaccard_verification(spark, docs):
     assert 0.5 <= all_pairs[(0, 2)] < 1.0  # near dup
 
 
+def test_ngram_jaccard_candidate_path_on_hot_token(spark):
+    """A shingle shared by EVERY doc (the hot-token case): the
+    candidate-first path must still produce exactly the full path's
+    values on the candidate pairs. (The plan-shape guarantee — no
+    unrestricted shingle self-join — is pinned in test_plans.py.)"""
+    hot = "alpha beta gamma"  # one 3-gram present in every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i % 4} extra{i}") for i in range(30)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    cands = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (2, 3), (5, 17)], columns=["a_id", "b_id"])
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, candidates=cands).collect()
+    }
+    full = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    want = {p: full[p] for p in [(0, 1), (2, 3), (5, 17)] if p in full}
+    assert got == want and len(got) == 3  # every doc shares the hot shingle
+
+
 def test_simhash_near_dups(spark, docs):
     sims = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
     assert sims[0] == sims[1]  # identical text -> identical simhash

@@ -161,3 +161,32 @@ def test_random_walk_step_is_point_lookup_join(spark):
         s = line.strip(" :+-")
         if s.startswith("Filter") and "pmod" in s:
             raise AssertionError(f"pick applied as post-join filter: {s[:200]}")
+
+
+def test_jaccard_candidates_plan_is_candidate_first(spark):
+    """ngram_jaccard_pairs(candidates=...) must NOT contain a shingle
+    self-join keyed on the token alone — the candidate restriction has
+    to enter BELOW the token join (candidates ⋈ a-shingles ⋈ (b_id, t)),
+    or one hot shingle shared by d documents streams O(d²) rows that
+    the post-aggregation semi-join can never prevent."""
+    import re
+
+    import pandas as pd
+
+    from fog_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i, f"alpha beta gamma unique{i} token{i}") for i in range(12)],
+        columns=["doc_id", "text"]))
+    cands = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (2, 3)], columns=["a_id", "b_id"]))
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.0, candidates=cands))
+    bad = [
+        l.strip()[:160] for l in plan.splitlines()
+        if re.search(r"Join\s*(?:\w+\s+)?\[t#\d+L?\],\s*\[t#\d+L?\]", l)
+    ]
+    assert not bad, f"unrestricted shingle self-join in candidates plan: {bad}"
+    # and the b-side join must key on BOTH (b_id, t)
+    assert re.search(
+        r"Join\s*(?:\w+\s+)?\[b_id#\d+L?, t#\d+L?\],\s*\[(?:b_)?id#\d+L?, t#\d+L?\]", plan
+    ), "expected a composite (b_id, t) equi-join in the candidates plan"
