@@ -32,52 +32,88 @@ from fog_spark.queries import cooccur_edges, load
 from fog_spark.session import get_spark
 
 
-def _cpu_stat() -> list[int]:
-    with open("/proc/stat") as f:
-        return [int(x) for x in f.readline().split()[1:9]]
+from fog_spark.benchutil import BoxMeter, foreign_busy_pct
+
+# clean-window floors (builder-measured, same script/SF/cpus): any run
+# whose BEST wall exceeds 2x its floor is suspect even at 0% steal —
+# round 4 measured 33-51s walls at <2.4% steal on a query with an 8.4s
+# floor three runs in a row (foreign CPU / cgroup throttle, invisible
+# to the steal counter), so the defense can no longer key on steal alone
+_FLOORS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json")
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    floors: dict[str, float] = {}
+    try:
+        with open(_FLOORS_PATH) as f:
+            rec = json.load(f)
+            if rec.get("sf") == sf_dir.rstrip("/").rsplit("sf", 1)[-1] and rec.get("cpus") == cpus:
+                floors = rec.get("floors", {})
+    except (OSError, ValueError):
+        pass
+
+    extra: dict = {"runs": {}, "steal_pct": {}, "telemetry": {}}
+
+    # pre-flight guard: a busy box (orphaned JVM from a timeout-killed
+    # earlier invocation, sibling workload) poisons every number without
+    # touching the steal counter — wait for it to drain, bounded
+    fb0 = foreign_busy_pct(1.0)
+    extra["startup_foreign_cpu_pct"] = fb0
+    waited = 0.0
+    while fb0 > 15.0 and waited < 90.0:
+        time.sleep(5.0)
+        waited += 5.0
+        fb0 = foreign_busy_pct(1.0)
+    if waited:
+        extra["startup_foreign_wait_s"] = waited
+        extra["startup_foreign_cpu_pct_after_wait"] = fb0
+
     spark = get_spark("fogspark-bench", cpus=cpus, shuffle_partitions=cpus,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
 
     timings: dict[str, float] = {}
-    extra: dict = {"runs": {}, "steal_pct": {}}
+    meter = BoxMeter()
 
     def timed(name, fn, repeats=2):
         """min-of-N wall time. This VM shows intermittent hypervisor
         noise episodes (measured: identical plans swinging 14s -> 61s
         at >10% steal, and whole bench invocations 54s vs 167s minutes
         apart); the min over repeats is the engine's number, the
-        per-run list + steal%% make any spike auditable. If the first
-        two runs disagree by >1.5x, one extra run disambiguates an
-        episode from a real cost."""
+        per-run list + telemetry (steal%, PSI stall, foreign CPU,
+        cgroup throttle) make any spike auditable. If the first two
+        runs disagree by >1.5x, one extra run disambiguates an episode
+        from a real cost."""
         runs, out = [], None
 
         def one():
             nonlocal out
-            c0 = _cpu_stat()
+            meter.start()
             t0 = time.time()
             out = fn()
             runs.append(round(time.time() - t0, 3))
-            d = [b - a for a, b in zip(c0, _cpu_stat())]
-            extra["steal_pct"].setdefault(name, []).append(
-                round(100.0 * d[7] / max(sum(d), 1), 2)
-            )
+            tele = meter.stop()
+            extra["steal_pct"].setdefault(name, []).append(tele["steal_pct"])
+            extra["telemetry"].setdefault(name, []).append(tele)
 
         for _ in range(repeats):
             one()
         if len(runs) >= 2 and max(runs) > 1.5 * min(runs):
             one()
-        # steal-episode defense: if even the BEST run saw >3% steal, the
-        # number measures the hypervisor, not the engine — buy up to two
-        # more attempts hoping to land in a quiet window (all runs and
-        # their steal%% stay recorded either way). Never for single-run
-        # queries: those persist their result, so a re-run times the cache.
+        # episode defense, two triggers (never for single-run queries —
+        # those persist their result, so a re-run times the cache):
+        # 1. steal: the best run saw >3% steal;
+        # 2. floor: the best run exceeds 2x this query's clean-window
+        #    floor — catches contention the steal counter cannot see.
         retries = 0
         while repeats > 1 and retries < 2 and extra["steal_pct"][name][runs.index(min(runs))] > 3.0:
+            one()
+            retries += 1
+        floor = floors.get(name)
+        retries = 0
+        while repeats > 1 and retries < 3 and floor and min(runs) > 2.0 * floor:
             one()
             retries += 1
         timings[name] = min(runs)

@@ -11,11 +11,14 @@ normalization between them:
     h_k(v) = Σ_{v→w} a_k(w)       then  h_k ← h_k / ||h_k||_2
 
 Plan shape per iteration: two scatter joins + two keyed aggregations
-(the same cost envelope as two PageRank supersteps) plus two scalar
-norm aggregations. State is materialized per iteration (lineage cut)
-in its NORMALIZED form, so the committed snapshot is exactly what
-resume needs — checkpointable through the same RunContext seam as the
-other algorithms.
+(the same cost envelope as two PageRank supersteps). Each L2 norm
+rides its pass's materialization as an OBSERVED metric — two Spark
+jobs per iteration, not four (a separate ``.agg().collect()`` per norm
+used to re-execute the whole scatter join just for the scalar; pinned
+by a job-count test). State is committed per iteration in its
+NORMALIZED form, so the snapshot is exactly what resume needs —
+checkpointable through the same RunContext seam as the other
+algorithms.
 """
 
 from __future__ import annotations
@@ -24,7 +27,12 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.superstep import materialize, maybe_broadcast, vertices_of
+from fog_spark.engine.superstep import (
+    materialize,
+    materialize_observed,
+    maybe_broadcast,
+    vertices_of,
+)
 
 
 def hits(
@@ -44,7 +52,7 @@ def hits(
 
     start = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(niters)
         if rp is not None:
             start, state = rp
     if start == 0:
@@ -63,26 +71,35 @@ def hits(
             state.join(maybe_broadcast(agg_a, n), state["id"] == agg_a["dst"], "left")
             .select("id", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
         )
-        # normalize authorities, then hub pass over OUT-edges in the
-        # same iteration (textbook ordering: hubs see NORMALIZED a_k)
-        a_norm = s1.agg(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))).collect()[0][0] or 1.0
-        a_norm = a_norm if a_norm > 0 else 1.0
-        s1 = s1.select("id", (F.col("a_raw") / a_norm).alias("authority"), "hub")
-        st1 = maybe_broadcast(s1, n)
+        # the authority L2 norm RIDES the localCheckpoint job via
+        # observe (one job for pass + norm; a separate .agg().collect()
+        # used to re-execute the whole scatter join just for the scalar)
+        s1, om_a = materialize_observed(
+            s1, [F.sum(F.col("a_raw") * F.col("a_raw")).alias("ss")]
+        )
+        a_norm = float(om_a["ss"] or 0.0) ** 0.5 or 1.0
+        # hubs see NORMALIZED a_k (textbook ordering), same iteration
+        s1n = s1.select("id", (F.col("a_raw") / a_norm).alias("authority"), "hub")
+        st1 = maybe_broadcast(s1n, n)
         hmsg = e.join(st1, e["dst"] == st1["id"]).select(e["src"], F.col("authority").alias("m"))
         agg_h = hmsg.groupBy("src").agg(F.sum("m").alias("h_raw"))
         s2 = (
-            s1.join(maybe_broadcast(agg_h, n), s1["id"] == agg_h["src"], "left")
+            s1n.join(maybe_broadcast(agg_h, n), s1n["id"] == agg_h["src"], "left")
             .select("id", "authority", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
         )
-        h_norm = s2.agg(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))).collect()[0][0] or 1.0
-        h_norm = h_norm if h_norm > 0 else 1.0
-        # materialize the NORMALIZED state: the committed snapshot is
-        # exactly what resume needs (id, authority, hub)
-        state = materialize(
-            s2.select("id", "authority", (F.col("h_raw") / h_norm).alias("hub")), ctx, it
+        s2, om_h = materialize_observed(
+            s2, [F.sum(F.col("h_raw") * F.col("h_raw")).alias("ss")]
         )
+        h_norm = float(om_h["ss"] or 0.0) ** 0.5 or 1.0
+        norm = s2.select("id", "authority", (F.col("h_raw") / h_norm).alias("hub"))
         if ctx is not None:
+            # durable NORMALIZED snapshot (exactly what resume needs) —
+            # a cheap projection scan of the just-checkpointed s2
+            state = materialize(norm, ctx, it)
             ctx.commit(it, active=n, delta=None, wall_s=time.time() - t0,
                        lineage=ctx.lineage_of(state))
+        else:
+            # the projection over the checkpointed s2 is already
+            # lineage-cut; no third job needed
+            state = norm
     return state.select("id", "authority", "hub")

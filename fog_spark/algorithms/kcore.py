@@ -50,14 +50,14 @@ def k_core(
         n_alive: int | None = None  # counted once, lazily, for round-1 fixed-point detection
         m = 0
         if ctx is not None:
-            rp = ctx.resume_point()
+            # fixed-depth mode caps the resume at the REQUESTED round:
+            # a deeper earlier run must not silently answer for round k
+            # (raises if retention vacuumed the exact round's snapshot)
+            rp = ctx.resume_point() if rounds is None else ctx.resume_point_at_most(rounds)
             if rp is not None:
                 m, state = rp
                 if rounds is not None and m >= rounds:
-                    # already peeled to (or past) the requested depth:
-                    # prefer the snapshot AT that depth if retention kept it
-                    exact = ctx.state_at(rounds) if m > rounds else None
-                    return (exact if exact is not None else state).select("id", "degree")
+                    return state.select("id", "degree")
                 alive = state.select("id")
                 if rounds is None:
                     # fixed-point detection needs |alive| of the resumed round

@@ -64,7 +64,7 @@ def label_propagation(
     state = vertices.select("id", F.col("id").alias("label"))
     start_step = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_step, state = rp
             state = state.select("id", "label")

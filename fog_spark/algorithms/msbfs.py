@@ -48,7 +48,7 @@ def multi_source_bfs(
 
     start = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start, state = rp
     if start == 0:

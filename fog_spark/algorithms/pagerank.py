@@ -103,7 +103,7 @@ def pagerank_fog(
 
     start_step = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(niters)
         if rp is not None:
             start_step, state = rp
 
@@ -201,7 +201,7 @@ def pagerank_standard(
 
     start_it = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_it, state = rp
             # convergence must be judged by the metric record OF the
@@ -316,7 +316,7 @@ def pagerank_weighted(
 
     start_it = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_it, state = rp
             rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})
@@ -397,10 +397,19 @@ def pagerank_personalized(
     oracles replay.
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
-    seed_set = seeds.select(F.col("id").alias("sid")).distinct()
+    # intersect the seeds with the vertex set BEFORE sizing 1/|S|:
+    # an unknown seed id would otherwise keep a share of teleport mass
+    # that the state join then drops, deflating every rank and breaking
+    # the sum-to-1 invariant this docstring promises
+    seed_set = (
+        seeds.select(F.col("id").alias("sid")).distinct()
+        .join(vertices.select(F.col("id").alias("sid")), "sid", "left_semi")
+    )
     n_seeds = seed_set.count()
     if n_seeds == 0:
-        raise ValueError("pagerank_personalized needs a non-empty seed set")
+        raise ValueError(
+            "pagerank_personalized needs a non-empty seed set intersecting the graph's vertices"
+        )
     base = _degrees(edges, vertices)
     state = (
         base.join(seed_set, base["id"] == seed_set["sid"], "left")
@@ -420,7 +429,7 @@ def pagerank_personalized(
 
     start_it = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_it, state = rp
             rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})

@@ -62,7 +62,7 @@ def sssp(
     )
     start_step = 0
     if ctx is not None:
-        rp = ctx.resume_point()
+        rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_step, state = rp
     if start_step == 0:

@@ -456,10 +456,15 @@ def weighted_random_walks(
         )
         .withColumn("tot", F.sum("w").over(Window.partitionBy("src")))
     )
-    w_max = adj.agg(F.max("w")).collect()[0][0]
+    wrow = adj.agg(F.max("w").alias("mx"), F.min("w").alias("mn")).collect()[0]
+    w_max, w_min = wrow["mx"], wrow["mn"]
     if w_max is None:
         return edges.sparkSession.createDataFrame([], "walk_id long, step int, vertex long")
-    if w_max < 1:
+    if w_min < 1:
+        # a positive weight that rounds to 0 would make its edge
+        # silently untraversable — and a vertex whose out-edges ALL
+        # round to 0 gets tot=0, a null pick in Spark vs a
+        # division-by-zero in the SQL replay. Fail loudly instead.
         raise ValueError("integer weights must be >= 1 (raise weight_scale)")
     deg = adj.where(F.col("idx") == 0).select(
         F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")

@@ -52,6 +52,7 @@ class RunContext:
         self.keep_last = keep_last
         self.fmt = table_format if table_format is not None else ParquetDirFormat(spark, self.root)
         self.fmt.ensure_record_table(_METRICS)
+        self._last_write: tuple[str, int] | None = None
 
     # -- state ------------------------------------------------------------
 
@@ -59,7 +60,9 @@ class RunContext:
         """Durably write one superstep's state through the table format
         (atomic partition replace); return the re-read frame (lineage
         now starts at the committed data — the plan is cut)."""
-        return self.fmt.write_partition(df, name, step)
+        out = self.fmt.write_partition(df, name, step)
+        self._last_write = (name, step)
+        return out
 
     def read_state(self, step: int, name: str = "state") -> DataFrame:
         return self.fmt.read_partition(name, step)
@@ -74,9 +77,22 @@ class RunContext:
     # -- metrics / lineage --------------------------------------------------
 
     def lineage_of(self, df: DataFrame) -> dict[str, int]:
-        """partition id -> row count of a (just-materialized) state frame."""
+        """partition id -> row count of the just-committed state.
+
+        Zero-job path: when the frame is the state write_state just
+        committed, the counts come from the write itself (the format's
+        ``partition_lineage`` reads the parquet footers / table
+        metadata driver-side). Fallback — a frame that is NOT the last
+        write, or a format without metadata access — is the original
+        full-state scan, one extra Spark job per superstep."""
         if not self.collect_lineage:
             return {}
+        if self._last_write is not None:
+            fn = getattr(self.fmt, "partition_lineage", None)
+            if fn is not None:
+                got = fn(*self._last_write)
+                if got is not None:
+                    return got
         rows = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
         return {str(r["p"]): r["count"] for r in rows}
 
@@ -165,3 +181,27 @@ class RunContext:
             if self.fmt.partition_exists(name, step):
                 return step, self.read_state(step, name=name)
         return None
+
+    def resume_point_at_most(self, max_step: int, name: str = "state") -> tuple[int, DataFrame] | None:
+        """``resume_point`` capped at the REQUESTED depth: a run dir
+        whose last committed superstep exceeds ``max_step`` (it was
+        produced by a deeper earlier run) must yield the snapshot AT
+        ``max_step``, not silently return a deeper iterate — a caller
+        asking for k iterations gets exactly k. Raises when retention
+        (``keep_last``) vacuumed the requested step's snapshot, because
+        no state this run dir still holds can answer the request."""
+        rp = self.resume_point(name)
+        if rp is None:
+            return None
+        step, state = rp
+        if step <= max_step:
+            return rp
+        exact = self.state_at(max_step, name=name)
+        if exact is None:
+            raise ValueError(
+                f"run dir {self.root!r} has superstep {step} committed but the "
+                f"requested superstep {max_step} snapshot was vacuumed by "
+                f"keep_last retention; resume cannot honor the requested depth "
+                f"— use a fresh run_dir or request >= {step} supersteps"
+            )
+        return max_step, exact

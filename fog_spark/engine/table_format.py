@@ -73,6 +73,40 @@ class ParquetDirFormat:
     def read_partition(self, name: str, step: int) -> DataFrame:
         return self.spark.read.parquet(self._pdir(name, step))
 
+    def partition_lineage(self, name: str, step: int) -> dict[str, int] | None:
+        """write-task partition id -> row count, read from the parquet
+        FOOTERS of the committed partition — a driver-side metadata
+        read, zero Spark jobs (the write itself already recorded the
+        counts; re-scanning the state for them doubled every
+        checkpointed superstep's job count). Returns None when the
+        footers aren't reachable from the driver (non-local FS without
+        a pyarrow filesystem) so the caller can fall back to a scan."""
+        path = self._pdir(name, step)
+        local = path
+        for pre in ("file://", "file:"):
+            if local.startswith(pre):
+                local = local[len(pre):]
+                break
+        if "://" in local:
+            return None
+        try:
+            import os
+            import re
+
+            import pyarrow.parquet as pq
+
+            out: dict[str, int] = {}
+            for fn in os.listdir(local):
+                if not fn.endswith(".parquet"):
+                    continue
+                m = re.match(r"part-(\d+)-", fn)
+                key = str(int(m.group(1))) if m else fn
+                nrows = pq.ParquetFile(os.path.join(local, fn)).metadata.num_rows
+                out[key] = out.get(key, 0) + nrows
+            return out
+        except Exception:
+            return None
+
     def partition_exists(self, name: str, step: int) -> bool:
         return fs.exists(self.spark, self._pdir(name, step))
 
@@ -173,6 +207,14 @@ class IcebergFormat:
 
     def write_partition(self, df: DataFrame, name: str, step: int) -> DataFrame:
         t = self._table(name)
+        if "step" in df.columns:
+            # the partition column is stamped onto the frame; silently
+            # overwriting a caller's own 'step' column would destroy
+            # that data on checkpoint and drop it again on read
+            raise ValueError(
+                "state frame already has a 'step' column, which IcebergFormat "
+                "reserves for its partition key — rename it before checkpointing"
+            )
         stamped = df.withColumn("step", F.lit(step))
         if self.spark.catalog.tableExists(t):
             stamped.writeTo(t).overwritePartitions()

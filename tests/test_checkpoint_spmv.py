@@ -276,3 +276,52 @@ def test_kcore_resume_matches_clean(spark, tmp_path):
     one_round = {r["id"]: r["degree"]
                  for r in k_core(edges, k=kk, vertices=vertices, rounds=1).collect()}
     assert again == one_round
+
+
+def test_lineage_from_footers_costs_zero_jobs(spark, tmp_path):
+    """lineage_of on the just-committed state must come from the write's
+    parquet footers (driver-side metadata), launching NO Spark job —
+    the old shape re-scanned the full state once per checkpointed
+    superstep. Totals must still equal the scan-based counts."""
+    sc = spark.sparkContext
+    ctx = RunContext(spark, str(tmp_path), "runL")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v")).repartition(7)
+    state = ctx.write_state(df, 1)
+
+    sc.setJobGroup("lineage-jobs", "lineage-jobs")
+    try:
+        lin = ctx.lineage_of(state)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup("lineage-jobs"))
+    assert jobs == 0, f"footer-based lineage launched {jobs} Spark jobs"
+    assert sum(lin.values()) == 1000
+    # one entry per WRITE-task partition (the re-read scan may coalesce
+    # small files, so the footer view is the committed partitioning)
+    assert len(lin) == 7 and all(130 <= v <= 160 for v in lin.values())
+
+
+def test_resume_capped_at_requested_depth(spark, tmp_path):
+    """A run dir holding a DEEPER run than requested must return the
+    requested iterate (not silently the deeper one), and must raise
+    when retention vacuumed the requested step's snapshot."""
+    g = GRAPHS["g_er_n100"]
+    edges = graph_to_spark(spark, g)
+    vertices = spark.range(g.n).select("id")
+
+    ctx1 = RunContext(spark, str(tmp_path), "runDeep")
+    deep = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=6, ctx=ctx1).collect()}
+    # re-request a SHALLOWER depth from the same run dir
+    ctx2 = RunContext(spark, str(tmp_path), "runDeep")
+    shallow = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=3, ctx=ctx2).collect()}
+    plain3 = {r["id"]: r["rank"] for r in pagerank_fog(edges, vertices, niters=3).collect()}
+    assert shallow == pytest.approx(plain3, rel=1e-12)
+    assert any(shallow[i] != deep[i] for i in range(g.n))
+
+    # retention dropped the requested step -> loud failure, not a
+    # silently deeper answer
+    ctx3 = RunContext(spark, str(tmp_path), "runVac", keep_last=2)
+    pagerank_fog(edges, vertices, niters=6, ctx=ctx3)
+    ctx4 = RunContext(spark, str(tmp_path), "runVac", keep_last=2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        pagerank_fog(edges, vertices, niters=3, ctx=ctx4)

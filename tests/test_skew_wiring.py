@@ -137,3 +137,63 @@ def test_observe_saves_one_action_per_superstep(spark, monkeypatch):
     monkeypatch.setattr(bfs_mod, "materialize_observed", legacy_materialize_observed)
     legacy = count_jobs("legacy-run", lambda: bfs_levels(line, root=0, hub_threshold=None).count())
     assert observed < legacy, f"observed={observed} jobs should beat legacy={legacy}"
+
+
+def test_hits_observed_norms_save_jobs(spark):
+    """The L2 norms must ride the pass materializations as observed
+    metrics: the current implementation launches strictly fewer Spark
+    jobs than the legacy shape (separate .agg().collect() per norm,
+    which re-executes the whole scatter join for a scalar). Absolute
+    counts are not assertable under AQE (one materialization = several
+    scheduler jobs), so this is an A/B on the same input."""
+    import pyspark.sql.functions as F
+
+    from fog_spark.algorithms.hits import hits
+    from fog_spark.engine.superstep import maybe_broadcast
+
+    sc = spark.sparkContext
+    g = named_graphs()["g_er_n100"]
+    edges = graph_to_spark(spark, g).localCheckpoint(eager=True)
+    vertices = spark.range(g.n).select("id").localCheckpoint(eager=True)
+    niters = 3
+
+    def count_jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def legacy_hits():
+        e = edges.select("src", "dst")
+        state = vertices.select(
+            "id", F.lit(1.0).alias("authority"), F.lit(1.0).alias("hub")
+        ).localCheckpoint(eager=True)
+        n = state.count()
+        for _ in range(niters):
+            st = maybe_broadcast(state, n)
+            amsg = e.join(st, e["src"] == st["id"]).select(e["dst"], F.col("hub").alias("m"))
+            agg_a = amsg.groupBy("dst").agg(F.sum("m").alias("a_raw"))
+            s1 = (
+                state.join(maybe_broadcast(agg_a, n), state["id"] == agg_a["dst"], "left")
+                .select("id", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            )
+            a_norm = s1.agg(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw")))).collect()[0][0] or 1.0
+            s1 = s1.select("id", (F.col("a_raw") / a_norm).alias("authority"), "hub")
+            st1 = maybe_broadcast(s1, n)
+            hmsg = e.join(st1, e["dst"] == st1["id"]).select(e["src"], F.col("authority").alias("m"))
+            agg_h = hmsg.groupBy("src").agg(F.sum("m").alias("h_raw"))
+            s2 = (
+                s1.join(maybe_broadcast(agg_h, n), s1["id"] == agg_h["src"], "left")
+                .select("id", "authority", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+            )
+            h_norm = s2.agg(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw")))).collect()[0][0] or 1.0
+            state = s2.select(
+                "id", "authority", (F.col("h_raw") / h_norm).alias("hub")
+            ).localCheckpoint(eager=True)
+        state.count()
+
+    observed = count_jobs("hits-obs", lambda: hits(edges, vertices, niters=niters).count())
+    legacy = count_jobs("hits-legacy", legacy_hits)
+    assert observed < legacy, f"observed={observed} jobs should beat legacy={legacy}"

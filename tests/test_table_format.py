@@ -97,6 +97,10 @@ class FakeDF:
     def __init__(self, log, added=()):
         self.log, self.added = log, tuple(added)
 
+    @property
+    def columns(self):
+        return list(self.added)
+
     def withColumn(self, name, col):
         return FakeDF(self.log, self.added + (name,))
 
@@ -192,3 +196,17 @@ def test_iceberg_unavailable_fails_fast(spark):
     with pytest.raises(RuntimeError, match="ParquetDirFormat"):
         IcebergFormat(spark, "ckpt")
     assert IcebergFormat.available(spark) is False
+
+
+def test_iceberg_write_partition_rejects_step_column():
+    """A state frame that already carries a 'step' column must be
+    rejected loudly — stamping the partition key over it would destroy
+    the caller's data on checkpoint and drop it again on read."""
+    import pytest
+
+    sp = FakeSpark(existing=("ice.ckpt.fogspark_state",), conf=ICEBERG_CONF)
+    fmt = IcebergFormat(sp, "ckpt", catalog="ice")
+    df = FakeDF(sp.log, added=("id", "step"))
+    with pytest.raises(ValueError, match="'step' column"):
+        fmt.write_partition(df, "state", 3)
+    assert not [c for c in sp.log if c[0] == "overwritePartitions"]
