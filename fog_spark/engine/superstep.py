@@ -143,15 +143,44 @@ def _cleanup_tick(spark) -> None:
         spark.sparkContext._jvm.System.gc()
 
 
+def _fresh_leaf(df: DataFrame) -> DataFrame:
+    """Rebuild an already-materialized frame as a new LogicalRDD leaf
+    with DEFAULT statistics.
+
+    Dataset.localCheckpoint copies the origin plan's ESTIMATED stats
+    onto the checkpoint leaf. In iterative plans whose rounds join
+    their own cuts against each other (Borůvka's pointer jumping
+    self-joins the parent map every jump), the estimated sizeInBytes
+    COMPOUNDS multiplicatively cut over cut — by round 5 on a 3-row
+    frame the driver burns 20+ seconds of pure CPU multiplying
+    ~100k-digit BigIntegers inside SizeInBytesOnlyStatsPlanVisitor
+    (jstack-verified: BigInteger.multiplyToomCook3 under
+    LogicalRDD.rewriteStatsAndConstraints). Resetting every cut to a
+    default-stats leaf bounds each round's stats arithmetic.
+
+    Size-based broadcast decisions are unaffected in practice: this
+    engine always broadcasts checkpointed state by EXPLICIT hint
+    (maybe_broadcast — checkpoint stats were already unusable for
+    that, see BROADCAST_STATE_MAX), and AQE re-plans from runtime
+    shuffle sizes, not estimates."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    rdd = jdf.queryExecution().toRdd()
+    return DataFrame(
+        spark._jsparkSession.internalCreateDataFrame(rdd, jdf.schema(), False), spark
+    )
+
+
 def materialize(df: DataFrame, ctx=None, step: int | None = None, name: str = "state") -> DataFrame:
     """Cut lineage. With a RunContext: durable parquet checkpoint (resume
     point, replaces FOG's .attr write-back fog_engine.cpp:245-261);
-    without: eager localCheckpoint (fast, non-durable).
+    without: eager localCheckpoint (fast, non-durable) rebased onto a
+    fresh default-stats leaf (see _fresh_leaf).
     """
     if ctx is not None and step is not None:
         out = ctx.write_state(df, step, name=name)
     else:
-        out = df.localCheckpoint(eager=True)
+        out = _fresh_leaf(df.localCheckpoint(eager=True))
     _cleanup_tick(df.sparkSession)
     return out
 

@@ -336,3 +336,33 @@ def pagerank_weighted(
         if delta < tol:
             return rank, it
     return rank, max_iters
+
+
+def msf_kruskal(edges: np.ndarray, weights: np.ndarray) -> set[tuple[int, int, float]]:
+    """Minimum spanning forest via Kruskal + union-find, on the SAME
+    canonical form the Spark engine uses: a < b, min weight per
+    unordered pair, edges totally ordered by (w, a, b). Returns the
+    forest edge set {(a, b, w)} — unique under the total order."""
+    canon: dict[tuple[int, int], float] = {}
+    for (s, d), w in zip(edges.tolist(), weights.tolist()):
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        k = (a, b)
+        if k not in canon or w < canon[k]:
+            canon[k] = w
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int, float]] = set()
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out

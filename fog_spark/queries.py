@@ -222,7 +222,9 @@ def q_lpa_k2(spark, sf_dir):
     return state.select("id", "label")
 
 
-def _sql_lpa(k: int) -> str:
+def _lpa_ctes(k: int) -> list[str]:
+    """The LPA round CTEs (labels in l{k}) — shared by the lpa_k2 and
+    modularity oracles."""
     ctes = [EDGES_CTE, "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges)"]
     for i in range(1, k + 1):
         ctes.append(
@@ -233,7 +235,11 @@ def _sql_lpa(k: int) -> str:
             f"FROM edges e JOIN l{i-1} l ON e.src = l.id GROUP BY e.dst, l.label) t "
             f"WHERE rn = 1) b ON v.id = b.dst)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
+    return ctes
+
+
+def _sql_lpa(k: int) -> str:
+    return "WITH " + ",\n".join(_lpa_ctes(k)) + f"\nSELECT id, label FROM l{k}"
 
 
 def q_triangle_total(spark, sf_dir):
@@ -2503,3 +2509,153 @@ def _sql_pagerank_weighted(k: int) -> str:
 
 QUERIES["pagerank_weighted_k3"] = q_pagerank_weighted_k3
 ORACLES["pagerank_weighted_k3"] = _sql_pagerank_weighted(WPR_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: minimum spanning forest (Borůvka) — closes reference TODO.list:17-18
+# ---------------------------------------------------------------------------
+
+MSF_SQL_ROUNDS = 8  # sf0.01 converges in 6 Borůvka rounds; extras are no-ops
+
+
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest of the co-occurrence link graph
+    (algorithms/msf.minimum_spanning_forest, Borůvka supersteps, unique
+    under the total edge order (w, a, b)). Output: the forest edge set."""
+    from fog_spark.algorithms.msf import minimum_spanning_forest
+
+    return minimum_spanning_forest(cooccur_edges(spark, sf_dir))
+
+
+def _sql_msf(rounds: int) -> str:
+    """Borůvka unrolled ``rounds`` times in SQL: per round, each
+    component's min cross edge by (w, a, b) via row_number, then the
+    contraction closure over the picked component graph as a recursive
+    CTE with the relay-pruning rule (lab < d). Labels are min-ids where
+    the engine uses pointer roots — the FOREST is label-independent, so
+    the replay is exact."""
+    ctes = [
+        EDGES_CTE,
+        "ecan AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b, "
+        "min(weight) AS w FROM edges GROUP BY 1, 2)",
+        "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"cross{i} AS MATERIALIZED (SELECT e.a, e.b, e.w, x.comp AS ca, y.comp AS cb "
+            f"FROM ecan e JOIN comp{p} x ON e.a = x.id JOIN comp{p} y ON e.b = y.id "
+            f"WHERE x.comp <> y.comp)",
+            f"off{i} AS (SELECT ca AS c, w, a, b, ca, cb FROM cross{i} "
+            f"UNION ALL SELECT cb, w, a, b, ca, cb FROM cross{i})",
+            f"pick{i} AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM "
+            f"(SELECT c, w, a, b, ca, cb, row_number() OVER "
+            f"(PARTITION BY c ORDER BY w, a, b) AS rn FROM off{i}) WHERE rn = 1)",
+            f"sym{i} AS (SELECT ca AS s, cb AS d FROM pick{i} "
+            f"UNION SELECT cb, ca FROM pick{i})",
+            f"r{i} AS (SELECT s AS id, s AS lab FROM sym{i} "
+            f"UNION SELECT g.d, r.lab FROM r{i} r JOIN sym{i} g ON g.s = r.id "
+            f"WHERE r.lab < g.d)",
+            f"lab{i} AS MATERIALIZED (SELECT id, min(lab) AS lab FROM r{i} GROUP BY id)",
+            f"comp{i} AS MATERIALIZED (SELECT c.id, coalesce(l.lab, c.comp) AS comp "
+            f"FROM comp{p} c LEFT JOIN lab{i} l ON c.comp = l.id)",
+        ]
+    forest = " UNION ALL ".join(f"SELECT a, b, w FROM pick{i}" for i in range(1, rounds + 1))
+    return "WITH RECURSIVE " + ",\n".join(ctes) + f"\n{forest}"
+
+
+QUERIES["msf"] = q_msf
+ORACLES["msf"] = _sql_msf(MSF_SQL_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: community quality (modularity) + Louvain synchronous local moves
+# ---------------------------------------------------------------------------
+
+LOUVAIN_ROUNDS = 2
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the lpa_k2 labeling over the co-occurrence
+    link graph (algorithms/community.modularity): exact integer sums,
+    one float at the end — the community-quality score LPA itself never
+    reports."""
+    from fog_spark.algorithms.community import modularity
+
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst")
+    return modularity(edges, q_lpa_k2(spark, sf_dir))
+
+
+def _sql_modularity(k: int) -> str:
+    ctes = _lpa_ctes(k) + [
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS k "
+        "FROM edges GROUP BY src)",
+        f"i AS (SELECT count(*)::BIGINT AS m2, "
+        f"sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)::BIGINT AS intra2 "
+        f"FROM edges e JOIN l{k} la ON e.src = la.id JOIN l{k} lb ON e.dst = lb.id)",
+        f"pc AS (SELECT l.label, sum(d.k)::BIGINT AS dc "
+        f"FROM deg d JOIN l{k} l ON d.id = l.id GROUP BY l.label)",
+        "s AS (SELECT count(*)::BIGINT AS n_communities, "
+        "sum(dc * dc)::BIGINT AS sum_dc2 FROM pc)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT s.n_communities,
+       (i.m2 // 2)::BIGINT AS n_undirected_edges,
+       (i.intra2 // 2)::BIGINT AS intra_edges,
+       round((i.m2 * i.intra2 - s.sum_dc2)::DOUBLE / (i.m2::DOUBLE * i.m2::DOUBLE), 6)
+         AS modularity_r
+FROM i, s"""
+    )
+
+
+QUERIES["modularity"] = q_modularity
+ORACLES["modularity"] = _sql_modularity(LPA_ROUNDS)
+
+
+def q_louvain_move2(spark, sf_dir):
+    """Two synchronous Louvain local-move rounds from a singleton start
+    (algorithms/community.louvain_local_move): deterministic argmax of
+    the integer-scaled modularity gain, ties to the smallest community
+    label — exactly replayed by the unrolled oracle."""
+    from fog_spark.algorithms.community import louvain_local_move
+
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst")
+    return louvain_local_move(edges, rounds=LOUVAIN_ROUNDS)
+
+
+def _sql_louvain(rounds: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS k "
+        "FROM edges GROUP BY src)",
+        "m AS (SELECT count(*)::BIGINT AS m2 FROM edges)",
+        "s0 AS MATERIALIZED (SELECT id, id AS label FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"dc{i} AS MATERIALIZED (SELECT s.label, sum(d.k)::BIGINT AS dc "
+            f"FROM s{p} s JOIN deg d ON s.id = d.id GROUP BY s.label)",
+            f"k2_{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"count(*)::BIGINT AS k2 FROM edges e JOIN s{p} l ON e.dst = l.id "
+            f"GROUP BY e.src, l.label)",
+            f"cand{i} AS (SELECT id, c, max(k2) AS k2 FROM ("
+            f"SELECT id, c, k2 FROM k2_{i} "
+            f"UNION ALL SELECT id, label AS c, 0::BIGINT FROM s{p}) GROUP BY id, c)",
+            f"sc{i} AS MATERIALIZED (SELECT t.id, t.c, "
+            f"(m.m2 * t.k2 - d.k * (dc.dc - CASE WHEN t.c = s.label THEN d.k ELSE 0 END)) AS gain2 "
+            f"FROM cand{i} t JOIN dc{i} dc ON t.c = dc.label "
+            f"JOIN deg d ON t.id = d.id JOIN s{p} s ON t.id = s.id, m)",
+            f"s{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY gain2 DESC, c ASC) AS rn "
+            f"FROM sc{i}) WHERE rn = 1)",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM s{rounds}"
+
+
+QUERIES["louvain_move2"] = q_louvain_move2
+ORACLES["louvain_move2"] = _sql_louvain(LOUVAIN_ROUNDS)
