@@ -1794,7 +1794,7 @@ def q_node2vec_k3(spark, sf_dir):
 def _sql_node2vec(k: int, p: int, q: int, seed: int = 42) -> str:
     h1 = _hex8_sql(f"md5(w.walk_id::VARCHAR || '-1-{seed}')")
     steps = [
-        f"W1 AS (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
+        f"W1 AS MATERIALIZED (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
         f"  FROM W0 w JOIN adj a ON a.src = w.vertex AND a.idx = ({h1} % a.outdeg))"
     ]
     for t in range(2, k + 1):
@@ -2060,7 +2060,7 @@ def _sql_node2vec_rejection(k: int, p: int, q: int, attempts: int, seed: int = 4
     )
     h1c = _hex8_sql(f"md5(w.walk_id::VARCHAR || '-1:c-{seed}')")
     steps = [
-        f"W1 AS (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
+        f"W1 AS MATERIALIZED (SELECT w.walk_id, 1::BIGINT AS step, a.dst AS vertex, w.vertex AS prev\n"
         f"  FROM W0 w JOIN degv dv ON dv.src = w.vertex\n"
         f"  JOIN adj a ON a.src = w.vertex AND a.idx = ({h1c} % dv.outdeg))"
     ]
@@ -2070,8 +2070,9 @@ def _sql_node2vec_rejection(k: int, p: int, q: int, attempts: int, seed: int = 4
         for a in range(attempts):
             hc = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:c-{seed}')")
             hr = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:r-{seed}')")
+            # MATERIALIZED: referenced twice (A + next L) — see weighted walks
             steps.append(
-                f"D{t}_{a} AS (SELECT l.walk_id, l.vertex, l.prev, a.dst AS cand,\n"
+                f"D{t}_{a} AS MATERIALIZED (SELECT l.walk_id, l.vertex, l.prev, a.dst AS cand,\n"
                 f"  {wgt} AS wgt, ({hr} % {big_w}) AS acc\n"
                 f"  FROM L{t}_{a} l JOIN degv dv ON dv.src = l.vertex\n"
                 f"  JOIN adj a ON a.src = l.vertex AND a.idx = ({hc} % dv.outdeg)\n"
@@ -2105,7 +2106,7 @@ def _sql_node2vec_rejection(k: int, p: int, q: int, attempts: int, seed: int = 4
             f"SELECT * FROM {nm}" for nm in acc_names + [f"FB{t}"]
         )
         steps.append(
-            f"W{t} AS (SELECT walk_id, {t}::BIGINT AS step, vertex, prev FROM ({union}))"
+            f"W{t} AS MATERIALIZED (SELECT walk_id, {t}::BIGINT AS step, vertex, prev FROM ({union}))"
         )
     final_union = " UNION ALL ".join(
         ["SELECT walk_id, step, vertex FROM W0"]
@@ -2113,10 +2114,10 @@ def _sql_node2vec_rejection(k: int, p: int, q: int, attempts: int, seed: int = 4
     )
     return f"""
 WITH {EDGES_CTE},
-ded AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
-adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
                count(*) OVER (PARTITION BY src) AS outdeg FROM ded),
-degv AS (SELECT src, outdeg FROM adj WHERE idx = 0),
+degv AS MATERIALIZED (SELECT src, outdeg FROM adj WHERE idx = 0),
 verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 {','.join(steps)}
@@ -2378,8 +2379,10 @@ def _sql_weighted_walks(k: int, attempts: int, seed: int = 42, scale: int = 10) 
         for a in range(attempts):
             hc = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:c-{seed}')")
             hr = _hex8_sql(f"md5(l.walk_id::VARCHAR || '-{t}:{a}:r-{seed}')")
+            # MATERIALIZED: D{t}_{a} is referenced twice (A and the next L)
+            # — inlined, the chain re-executes upstream 2^depth times
             steps.append(
-                f"D{t}_{a} AS (SELECT l.walk_id, l.vertex, a2.dst AS cand, a2.w,\n"
+                f"D{t}_{a} AS MATERIALIZED (SELECT l.walk_id, l.vertex, a2.dst AS cand, a2.w,\n"
                 f"  ({hr} % wm.m) AS acc\n"
                 f"  FROM L{t}_{a} l JOIN degv dv ON dv.src = l.vertex\n"
                 f"  JOIN adj a2 ON a2.src = l.vertex AND a2.idx = ({hc} % dv.outdeg), wmax wm)"
@@ -2398,24 +2401,26 @@ def _sql_weighted_walks(k: int, attempts: int, seed: int = 42, scale: int = 10) 
             f"  WHERE ({hf} % a2.tot) >= a2.cum - a2.w AND ({hf} % a2.tot) < a2.cum)"
         )
         union = " UNION ALL ".join(f"SELECT * FROM {nm}" for nm in acc_names + [f"FB{t}"])
-        steps.append(f"W{t} AS (SELECT walk_id, {t}::BIGINT AS step, vertex FROM ({union}))")
+        steps.append(
+            f"W{t} AS MATERIALIZED (SELECT walk_id, {t}::BIGINT AS step, vertex FROM ({union}))"
+        )
     final_union = " UNION ALL ".join(
         ["SELECT walk_id, step, vertex FROM W0"]
         + [f"SELECT walk_id, step, vertex FROM W{t}" for t in range(1, k + 1)]
     )
     return f"""
 WITH {EDGES_CTE},
-ew AS (SELECT src, dst, max(round(weight * {scale})::BIGINT) AS w
+ew AS MATERIALIZED (SELECT src, dst, max(round(weight * {scale})::BIGINT) AS w
        FROM edges WHERE src <> dst GROUP BY src, dst),
-adj AS (SELECT src, dst, w,
+adj AS MATERIALIZED (SELECT src, dst, w,
         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
         count(*) OVER (PARTITION BY src) AS outdeg,
         sum(w) OVER (PARTITION BY src ORDER BY dst
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         sum(w) OVER (PARTITION BY src) AS tot
         FROM ew),
-wmax AS (SELECT max(w) AS m FROM adj),
-degv AS (SELECT src, outdeg FROM adj WHERE idx = 0),
+wmax AS MATERIALIZED (SELECT max(w) AS m FROM adj),
+degv AS MATERIALIZED (SELECT src, outdeg FROM adj WHERE idx = 0),
 verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
 W0 AS (SELECT id AS walk_id, 0::BIGINT AS step, id AS vertex FROM verts),
 {','.join(steps)}
