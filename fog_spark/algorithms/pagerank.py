@@ -185,19 +185,42 @@ def pagerank_standard(
     ctx=None,
     hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
     n_salts: int = 16,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Normalized PageRank to tol; returns ((id, rank), iterations_run).
 
     The convergence delta and the next iteration's dangling mass are
     OBSERVED on the materialize job itself — one Spark job per
     superstep, no separate aggregation scan.
+
+    ``init_ranks`` ((id, rank)) warm-starts the power iteration — e.g.
+    the previous fixed point after a streaming delta batch grew the
+    graph (``streaming.read_edge_log``). The iteration is an affine
+    contraction with a unique fixed point, so ANY start converges to
+    the same answer; a near-answer start just crosses ``tol`` in fewer
+    supersteps. Vertices absent from ``init_ranks`` (newly arrived)
+    start at 1/n; a ``ctx`` resume snapshot takes precedence.
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
     state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
     n = state.count()
     if n == 0:  # an empty graph is converged (and 1/n is undefined)
         return state.select("id", "rank"), 0
-    state = state.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is not None:
+        warm = init_ranks.select(F.col("id").alias("wid"), F.col("rank").alias("wrank"))
+        state = state.join(maybe_broadcast(warm, n), state["id"] == F.col("wid"), "left").select(
+            "id", "outdeg", F.coalesce("wrank", F.lit(1.0 / n)).alias("rank"), "prev"
+        )
+        # Normalize to sum 1: mass error lies along the principal
+        # eigenvector and decays only at rate d (the SLOWEST mode) —
+        # an unnormalized warm start from a grown graph measurably
+        # converges slower than uniform (103 vs 30 supersteps at 1e-10
+        # on a 31-vertex drive). Shape error decays at d·λ2, so the
+        # normalized warm start is the fast path the docstring promises.
+        tot = state.agg(F.sum("rank")).collect()[0][0] or 1.0
+        state = state.withColumn("rank", F.col("rank") / tot)
+    else:
+        state = state.withColumn("rank", F.lit(1.0 / n))
 
     start_it = 0
     if ctx is not None:

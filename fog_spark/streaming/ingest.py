@@ -18,6 +18,14 @@ state must be maintainable incrementally instead of recomputed.
   This is the parquet-dir stand-in for an Iceberg MERGE INTO /
   snapshot-append table; all path ops go through the Hadoop FS API
   (engine/fs), not local-POSIX ``os`` calls.
+- ``incremental_edge_log`` / ``read_edge_log`` / ``compact_edge_log``:
+  the same publish/compact machinery over the RAW edges themselves (the
+  delta is the batch verbatim, the fold is concatenation), so the graph
+  algorithms run directly off the streaming-maintained table — the
+  streaming→graph bridge. ``read_edge_log`` feeds ``pagerank_fog`` /
+  ``pagerank_standard`` unchanged, and ``pagerank_standard``'s
+  ``init_ranks=`` warm start re-converges from the previous fixed point
+  after a delta batch instead of from uniform.
 - ``stream_event_sessions``: watermarked session_window aggregation over
   the events stream (late data handled by the watermark).
 - ``stream_running_user_stats``: applyInPandasWithState custom stateful
@@ -67,43 +75,46 @@ def _current_parts(names: list[str], degrees_path: str) -> list[str]:
     ]
 
 
-def incremental_degrees(
-    edges_stream: DataFrame, degrees_path: str, checkpoint_dir: str, available_now: bool = True
+def _incremental(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    delta_fn,
+    available_now: bool = True,
 ):
-    """Maintain (id, outdeg) durably under a stream of new edges.
+    """Maintain a derived table durably under a stream of new rows.
 
-    Each micro-batch writes ONLY its own degree delta, published as an
-    immutable ``batch=<id>/`` partition by atomic rename:
+    Each micro-batch writes ONLY its own delta (``delta_fn(batch)``),
+    published as an immutable ``batch=<id>/`` partition by atomic
+    rename:
 
     - per-trigger cost is O(batch), never O(accumulated table);
     - replays (foreachBatch is at-least-once) are skipped because the
       target partition already exists — no marker files, no swap window
       in which a crash can lose accumulated state;
-    - readers (``read_degrees``) aggregate base + deltas and are never
-      exposed to a half-written partition (the temp dir is invisible
-      until the rename).
+    - readers (``_read``) fold base + deltas and are never exposed to a
+      half-written partition (the temp dir is invisible until the
+      rename).
     """
-    spark = edges_stream.sparkSession
+    spark = stream.sparkSession
 
     def publish_batch(batch: DataFrame, batch_id: int) -> None:
-        bdir = f"{degrees_path}/batch={batch_id}"
+        bdir = f"{path}/batch={batch_id}"
         if fs.exists(spark, bdir):  # at-least-once replay: already applied
             return
-        bases = _part_ids(spark, degrees_path, "base")
+        bases = _part_ids(spark, path, "base")
         if bases and batch_id <= bases[-1]:
             # replayed batch already folded into the base by compaction
             # (the base name records the max applied batch id)
             return
-        delta = batch.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).cast("long").alias("outdeg")
-        )
-        tmp = f"{degrees_path}/.tmp-batch-{batch_id}"
+        delta = delta_fn(batch)
+        tmp = f"{path}/.tmp-batch-{batch_id}"
         fs.delete(spark, tmp)
         delta.write.mode("overwrite").parquet(tmp)
         if not fs.rename(spark, tmp, bdir):
-            raise IOError(f"degree delta publish failed: {tmp} -> {bdir}")
+            raise IOError(f"delta publish failed: {tmp} -> {bdir}")
 
-    writer = edges_stream.writeStream.foreachBatch(publish_batch).option(
+    writer = stream.writeStream.foreachBatch(publish_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
@@ -111,14 +122,37 @@ def incremental_degrees(
     return writer.start()
 
 
-def _fold_parts(spark: SparkSession, parts: list[str]) -> DataFrame:
-    if not parts:
-        return spark.createDataFrame([], "id LONG, outdeg LONG")
-    return (
-        spark.read.parquet(*parts)
-        .groupBy("id")
-        .agg(F.sum("outdeg").cast("long").alias("outdeg"))
+def incremental_degrees(
+    edges_stream: DataFrame, degrees_path: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Maintain (id, outdeg) durably under a stream of new edges
+    (see ``_incremental`` for the publish contract)."""
+    return _incremental(
+        edges_stream,
+        degrees_path,
+        checkpoint_dir,
+        lambda batch: batch.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("outdeg")
+        ),
+        available_now,
     )
+
+
+_DEGREES_EMPTY = "id LONG, outdeg LONG"
+
+
+def _fold_degrees(df: DataFrame) -> DataFrame:
+    return df.groupBy("id").agg(F.sum("outdeg").cast("long").alias("outdeg"))
+
+
+def _fold_parts(spark: SparkSession, parts: list[str], fold_fn, empty_schema: str) -> DataFrame:
+    if not parts:
+        return spark.createDataFrame([], empty_schema)
+    return fold_fn(spark.read.parquet(*parts))
+
+
+def _read(spark: SparkSession, path: str, fold_fn, empty_schema: str) -> DataFrame:
+    return _fold_parts(spark, _current_parts(fs.list_names(spark, path), path), fold_fn, empty_schema)
 
 
 def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
@@ -130,17 +164,22 @@ def read_degrees(spark: SparkSession, degrees_path: str) -> DataFrame:
     parts made dead by the PREVIOUS compaction). A frame kept unscanned
     across MORE than one compaction is out of contract — re-call
     read_degrees instead of caching the lazy frame that long."""
-    return _fold_parts(spark, _current_parts(fs.list_names(spark, degrees_path), degrees_path))
+    return _read(spark, degrees_path, _fold_degrees, _DEGREES_EMPTY)
 
 
 def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
+    """Roll published degree deltas into a new base (see ``_compact``)."""
+    _compact(spark, degrees_path, _fold_degrees, _DEGREES_EMPTY)
+
+
+def _compact(spark: SparkSession, path: str, fold_fn, empty_schema: str) -> None:
     """Roll published deltas into a new base partition.
 
     Crash- and concurrency-safe: the folded part set AND the new base's
     id come from ONE directory listing (a batch published after the
     snapshot is neither folded nor vacuumed — it stays a live delta
     above the new base's watermark); the new ``base=<K>`` lands by
-    atomic rename BEFORE anything is deleted, and ``read_degrees``
+    atomic rename BEFORE anything is deleted, and ``_read``
     ignores deltas ≤ the newest base — so every intermediate state
     reads correctly. Vacuuming is DELAYED one cycle: this call deletes
     only the base/deltas that the PREVIOUS compaction made dead, so an
@@ -148,45 +187,85 @@ def compact_degrees(spark: SparkSession, degrees_path: str) -> None:
     for a full compaction period. Run periodically so the read-side
     union stays short.
     """
-    names = fs.list_names(spark, degrees_path)
+    names = fs.list_names(spark, path)
     batches = _ids_from(names, "batch")
     if not batches:
         return
     k = batches[-1]
     prior_bases = [b for b in _ids_from(names, "base") if b < k]
     prev = prior_bases[-1] if prior_bases else -1
-    base_dir = f"{degrees_path}/base={k}"
+    base_dir = f"{path}/base={k}"
     if not fs.exists(spark, base_dir):  # re-run after a crash mid-vacuum skips the publish
-        agg = _fold_parts(spark, _current_parts(names, degrees_path))
-        tmp = f"{degrees_path}/.tmp-base-{k}"
+        agg = _fold_parts(spark, _current_parts(names, path), fold_fn, empty_schema)
+        tmp = f"{path}/.tmp-base-{k}"
         fs.delete(spark, tmp)
         agg.write.mode("overwrite").parquet(tmp)
         if not fs.rename(spark, tmp, base_dir):
-            raise IOError(f"degree base publish failed: {tmp}")
+            raise IOError(f"base publish failed: {tmp}")
     # The grace marker tracks elapsed cycles explicitly, so an IDLE
     # stream (repeated compactions, no new batches) still converges to
     # zero dead parts: a marker for base=k written by a PREVIOUS
     # completed call means one full compaction cycle has passed since
     # base=k became current, and everything it superseded is vacuumable.
-    grace_marker = f"{degrees_path}/.grace={k}"
+    grace_marker = f"{path}/.grace={k}"
     if fs.exists(spark, grace_marker):
         for b in prior_bases:
-            fs.delete(spark, f"{degrees_path}/base={b}")
+            fs.delete(spark, f"{path}/base={b}")
         for b in batches:
             if b <= k:
-                fs.delete(spark, f"{degrees_path}/batch={b}")
+                fs.delete(spark, f"{path}/batch={b}")
     else:
         # one-cycle grace window: keep base=prev and the deltas folded
         # into base=k; drop only what the previous compaction superseded
         for b in prior_bases[:-1]:
-            fs.delete(spark, f"{degrees_path}/base={b}")
+            fs.delete(spark, f"{path}/base={b}")
         for b in batches:
             if b <= prev:
-                fs.delete(spark, f"{degrees_path}/batch={b}")
-    for name in fs.list_names(spark, degrees_path):  # retire stale markers
+                fs.delete(spark, f"{path}/batch={b}")
+    for name in fs.list_names(spark, path):  # retire stale markers
         if name.startswith(".grace=") and name != f".grace={k}":
-            fs.delete(spark, f"{degrees_path}/{name}")
+            fs.delete(spark, f"{path}/{name}")
     fs.mkdirs(spark, grace_marker)
+
+
+_EDGES_EMPTY = "src LONG, dst LONG, weight DOUBLE"
+
+
+def incremental_edge_log(
+    edges_stream: DataFrame, edges_path: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Maintain the RAW edge table durably under a stream of new edges.
+
+    The delta IS the micro-batch and the fold is concatenation, so the
+    accumulated table is exactly the union of all published batches —
+    the streaming-maintained input for the batch graph algorithms
+    (``read_edge_log`` → ``pagerank_fog`` / ``pagerank_standard`` /
+    ``cc`` unchanged). Publish contract as in ``_incremental``.
+    """
+    return _incremental(
+        edges_stream, edges_path, checkpoint_dir, lambda batch: batch, available_now
+    )
+
+
+def read_edge_log(spark: SparkSession, edges_path: str) -> DataFrame:
+    """(src, dst, weight): current edge table = newest base + later deltas.
+
+    Same single-snapshot / one-compaction-cycle validity contract as
+    ``read_degrees``. The returned frame is a lazy parquet scan of the
+    live parts — O(|edges|) only when an algorithm actually runs over
+    it, and partition-prunable like any static edge table.
+    """
+    return _read(spark, edges_path, lambda df: df, _EDGES_EMPTY)
+
+
+def compact_edge_log(spark: SparkSession, edges_path: str) -> None:
+    """Concatenate published edge deltas into a new base (see ``_compact``).
+
+    For the edge log compaction trades many small delta files for one
+    well-sized base — the small-files problem, not recomputation, is
+    what it solves here.
+    """
+    _compact(spark, edges_path, lambda df: df, _EDGES_EMPTY)
 
 
 def stream_event_sessions(

@@ -198,3 +198,67 @@ def test_incremental_degrees_replay_is_idempotent(spark, tmp_path):
     incremental_degrees(stream_edges(spark, inp), deg_path, ckpt).awaitTermination()
     after = {r["id"]: r["outdeg"] for r in read_degrees(spark, deg_path).collect()}
     assert after == before == {7: 2}
+
+
+def test_incremental_edge_log_roundtrip(spark, tmp_path):
+    """The streaming-maintained edge log IS the union of all batches —
+    across delta publishes, compaction, and idempotent re-compaction."""
+    from fog_spark.streaming import compact_edge_log, incremental_edge_log, read_edge_log
+
+    inp = str(tmp_path / "raw_in")
+    log = str(tmp_path / "edge_log")
+    ckpt = str(tmp_path / "elog_ckpt")
+
+    b1 = [(0, 1), (0, 2), (1, 2), (2, 0)]
+    _write_edge_batch(spark, inp, b1)
+    incremental_edge_log(stream_edges(spark, inp), log, ckpt).awaitTermination()
+    assert sorted((r["src"], r["dst"]) for r in read_edge_log(spark, log).collect()) == sorted(b1)
+
+    b2 = [(2, 3), (3, 0), (3, 1)]
+    _write_edge_batch(spark, inp, b2)
+    incremental_edge_log(stream_edges(spark, inp), log, ckpt).awaitTermination()
+    want = sorted(b1 + b2)
+    assert sorted((r["src"], r["dst"]) for r in read_edge_log(spark, log).collect()) == want
+
+    compact_edge_log(spark, log)
+    assert sorted((r["src"], r["dst"]) for r in read_edge_log(spark, log).collect()) == want
+    compact_edge_log(spark, log)  # crash-rerun / idle idempotence
+    assert sorted((r["src"], r["dst"]) for r in read_edge_log(spark, log).collect()) == want
+
+
+def test_stream_pagerank_bridge_warm_start(spark, tmp_path):
+    """streaming→graph bridge: pagerank_standard runs unchanged off
+    read_edge_log, and warm-starting from the pre-delta fixed point
+    reaches the SAME answer in fewer supersteps than a uniform start."""
+    import numpy as np
+
+    from fog_spark.algorithms.pagerank import pagerank_standard
+    from fog_spark.streaming import incremental_edge_log, read_edge_log
+
+    inp = str(tmp_path / "pr_in")
+    log = str(tmp_path / "pr_log")
+    ckpt = str(tmp_path / "pr_ckpt")
+
+    rng = np.random.default_rng(7)
+    # skewed base graph (far from uniform fixed point): hub + random edges
+    b1 = [(i, 0) for i in range(1, 25)] + [
+        (int(rng.integers(0, 25)), int(rng.integers(0, 25))) for _ in range(40)
+    ]
+    _write_edge_batch(spark, inp, b1)
+    incremental_edge_log(stream_edges(spark, inp), log, ckpt).awaitTermination()
+    r1, _ = pagerank_standard(read_edge_log(spark, log), tol=1e-9, hub_threshold=None)
+    r1 = r1.localCheckpoint(eager=True)
+
+    # small delta batch: one new vertex + two rewires
+    _write_edge_batch(spark, inp, [(25, 0), (0, 25), (3, 7)])
+    incremental_edge_log(stream_edges(spark, inp), log, ckpt).awaitTermination()
+    edges2 = read_edge_log(spark, log)
+    cold, it_cold = pagerank_standard(edges2, tol=1e-9, hub_threshold=None)
+    warm, it_warm = pagerank_standard(edges2, tol=1e-9, hub_threshold=None, init_ranks=r1)
+
+    got_cold = {r["id"]: r["rank"] for r in cold.collect()}
+    got_warm = {r["id"]: r["rank"] for r in warm.collect()}
+    assert set(got_cold) == set(got_warm)
+    for k in got_cold:
+        assert abs(got_cold[k] - got_warm[k]) < 1e-7, k
+    assert it_warm < it_cold, (it_warm, it_cold)
