@@ -12,3 +12,6 @@ from fog_spark.algorithms.hits import hits  # noqa: F401
 from fog_spark.algorithms.linkpred import common_neighbor_scores  # noqa: F401
 from fog_spark.algorithms.msbfs import multi_source_bfs  # noqa: F401
 from fog_spark.algorithms.walks import weighted_random_walks  # noqa: F401
+from fog_spark.algorithms.msf import minimum_spanning_forest  # noqa: F401
+from fog_spark.algorithms.community import louvain_local_move, modularity  # noqa: F401
+from fog_spark.algorithms.betweenness import betweenness_sampled  # noqa: F401

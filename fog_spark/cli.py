@@ -25,7 +25,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _load_edges(spark: SparkSession, path: str, fmt: str) -> tuple[DataFrame, DataFrame | None]:
@@ -137,6 +137,33 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         return common_neighbor_scores(
             edges, max_degree=args.max_degree, min_common=args.min_common
         )
+    if args.app == "msf":
+        from fog_spark.algorithms.msf import minimum_spanning_forest
+
+        if "weight" not in edges.columns:
+            raise ValueError("--app msf needs a 'weight' column on the edge input")
+        return minimum_spanning_forest(edges, ctx=ctx)
+    if args.app == "louvain":
+        from fog_spark.algorithms.community import louvain_local_move
+
+        return louvain_local_move(edges, rounds=args.niters, ctx=ctx)
+    if args.app == "betweenness":
+        from fog_spark.algorithms.betweenness import betweenness_sampled
+
+        if not args.seeds:
+            raise ValueError("--app betweenness requires --seeds id[,id...] (the pivots)")
+        roots = [int(s) for s in args.seeds.split(",")]
+        d = betweenness_sampled(edges, roots, max_depth=args.max_depth, ctx=ctx)
+        n = vertices.count() if vertices is not None else None
+        if n is None:
+            from fog_spark.engine.superstep import vertices_of
+
+            n = vertices_of(edges).count()
+        return (
+            d.where(F.col("dist") > 0)
+            .groupBy("id")
+            .agg((F.lit(float(n) / len(roots)) * F.sum("delta")).alias("bc"))
+        )
     if args.app == "ppr":
         from fog_spark.algorithms.pagerank import pagerank_personalized
 
@@ -188,7 +215,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
-                 "tfidf", "asof"],
+                 "msf", "louvain", "betweenness", "tfidf", "asof"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -210,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="node2vec rejection: batched draws per step before exact fallback")
     p.add_argument("--seeds", default=None,
                    help="ppr/msbfs: comma-separated seed/landmark vertex ids")
+    p.add_argument("--max-depth", type=int, default=None,
+                   help="betweenness: bound both Brandes phases at this distance")
     p.add_argument("--max-degree", type=int, default=10_000,
                    help="linkpred: exclude shared-neighbor centers above this degree")
     p.add_argument("--min-common", type=int, default=1,

@@ -2664,3 +2664,85 @@ def _sql_louvain(rounds: int) -> str:
 
 QUERIES["louvain_move2"] = q_louvain_move2
 ORACLES["louvain_move2"] = _sql_louvain(LOUVAIN_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: sampled betweenness centrality (Brandes pivots, k-bounded)
+# ---------------------------------------------------------------------------
+
+BC_ROOTS = MSBFS_ROOTS
+BC_DEPTH = 4  # >= graph diameter at test scale, so the bound is inert there
+
+
+def q_betweenness_d4(spark, sf_dir):
+    """Pivot-sampled betweenness (algorithms/betweenness): Brandes
+    forward sigma + backward dependency passes from the four landmark
+    roots, depth-bounded at 4, scaled by n/k (Brandes & Pich 2007
+    estimator). bc_r rounds to 4dp: the n/k multiplier amplifies
+    cross-engine float-sum jitter past 6dp."""
+    from fog_spark.algorithms.betweenness import betweenness_sampled
+    from fog_spark.engine.superstep import vertices_of
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    d = betweenness_sampled(edges, list(BC_ROOTS), max_depth=BC_DEPTH, assume_simple=True)
+    n = vertices_of(edges).count()
+    edges.unpersist()
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.round(F.lit(float(n) / len(BC_ROOTS)) * F.sum("delta"), 4).alias("bc_r"),
+        )
+    )
+
+
+def _sql_betweenness(k_depth: int, roots: tuple) -> str:
+    vals = ", ".join(f"({r})" for r in roots)
+    ctes = [
+        EDGES_CTE,
+        "nsl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst)",
+        f"A0 AS MATERIALIZED (SELECT root::BIGINT AS id, root::BIGINT AS root, "
+        f"0 AS dist, 1.0::DOUBLE AS sigma FROM (VALUES {vals}) t(root))",
+    ]
+    for t in range(1, k_depth + 1):
+        ctes += [
+            # level t = first-reached now; sigma sums the predecessors'
+            f"N{t} AS MATERIALIZED (SELECT e.dst AS id, a.root, {t} AS dist, "
+            f"sum(a.sigma) AS sigma FROM A{t-1} a JOIN nsl e ON e.src = a.id "
+            f"WHERE a.dist = {t-1} AND NOT EXISTS "
+            f"(SELECT 1 FROM A{t-1} p WHERE p.id = e.dst AND p.root = a.root) "
+            f"GROUP BY e.dst, a.root)",
+            f"A{t} AS MATERIALIZED (SELECT * FROM A{t-1} UNION ALL SELECT * FROM N{t})",
+        ]
+    ctes.append(
+        f"D{k_depth} AS MATERIALIZED (SELECT id, root, dist, sigma, 0.0::DOUBLE AS delta "
+        f"FROM A{k_depth} WHERE dist = {k_depth})"
+    )
+    for lev in range(k_depth - 1, 0, -1):
+        ctes += [
+            # dependency flowing from the (already-final) level lev+1
+            f"C{lev} AS (SELECT v.id, v.root, sum(v.sigma / w.sigma * (1 + w.delta)) AS d "
+            f"FROM A{k_depth} v JOIN nsl e ON e.src = v.id "
+            f"JOIN D{lev+1} w ON w.id = e.dst AND w.root = v.root "
+            f"WHERE v.dist = {lev} GROUP BY v.id, v.root)",
+            f"D{lev} AS MATERIALIZED (SELECT v.id, v.root, v.dist, v.sigma, "
+            f"coalesce(c.d, 0.0) AS delta "
+            f"FROM (SELECT * FROM A{k_depth} WHERE dist = {lev}) v "
+            f"LEFT JOIN C{lev} c ON c.id = v.id AND c.root = v.root)",
+        ]
+    ctes.append(
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges))"
+    )
+    ctes.append("nv AS (SELECT count(*)::DOUBLE AS n FROM verts)")
+    all_d = " UNION ALL ".join(f"SELECT * FROM D{lev}" for lev in range(1, k_depth + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT t.id, count(*)::BIGINT AS nr, "
+        f"round(nv.n / {len(roots)} * sum(t.delta), 4) AS bc_r "
+        f"FROM ({all_d}) t, nv GROUP BY t.id, nv.n"
+    )
+
+
+QUERIES["betweenness_d4"] = q_betweenness_d4
+ORACLES["betweenness_d4"] = _sql_betweenness(BC_DEPTH, BC_ROOTS)

@@ -163,3 +163,51 @@ def test_cli_msbfs_and_linkpred(spark, tmp_path):
 
     expect2 = sorted(map(tuple, common_neighbor_scores(read_edgelist(spark, path)).collect()))
     assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
+
+
+def test_cli_msf_louvain_betweenness(spark, tmp_path):
+    import pandas as pd
+
+    g = named_graphs()["g_dag"]
+    path = _write_edgelist(tmp_path, g)
+
+    # msf needs weights: parquet edge input with a deterministic weight
+    pdf = pd.DataFrame(g.edges, columns=["src", "dst"])
+    pdf["weight"] = (pdf["src"] * 7 + pdf["dst"] * 3) % 10 + 1.0
+    wpath = str(tmp_path / "wedges")
+    spark.createDataFrame(pdf).write.parquet(wpath)
+    out = str(tmp_path / "msf")
+    rc = main(["--graph", wpath, "--format", "parquet", "--app", "msf", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.msf import minimum_spanning_forest
+
+    expect = sorted(map(tuple, minimum_spanning_forest(spark.createDataFrame(pdf)).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+    out2 = str(tmp_path / "lv")
+    rc = main(["--graph", path, "--app", "louvain", "--niters", "2", "--out", out2], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.community import louvain_local_move
+    from fog_spark.sources.edgelist import read_edgelist
+
+    expect2 = sorted(map(tuple, louvain_local_move(read_edgelist(spark, path), rounds=2).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
+
+    out3 = str(tmp_path / "bc")
+    rc = main(
+        ["--graph", path, "--app", "betweenness", "--seeds", "0,1", "--out", out3],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["id"]: r["bc"] for r in spark.read.parquet(out3).collect()}
+    from tests.test_betweenness import brandes_deltas
+
+    E = [(int(s), int(d)) for s, d in g.edges]
+    n = len({u for e in E for u in e})
+    want = {}
+    for (v, root), (dist, delta) in brandes_deltas(E, [0, 1]).items():
+        if dist > 0:
+            want[v] = want.get(v, 0.0) + delta * n / 2
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
