@@ -199,10 +199,20 @@ def _run_table_app(args, spark: SparkSession) -> DataFrame:
             right_ts=args.ts_col,
             tolerance_s=args.tolerance,
         )
+    if args.app == "dedup":
+        from fog_spark.datapipe.dedup import dedup_corpus
+
+        return dedup_corpus(
+            spark.read.parquet(args.graph),
+            k=args.minhash_k,
+            bands=args.bands,
+            threshold=args.threshold,
+            max_bucket=args.max_bucket,
+        )
     raise ValueError(f"unknown table app {args.app}")
 
 
-TABLE_APPS = ("tfidf", "asof")
+TABLE_APPS = ("tfidf", "asof", "dedup")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -215,7 +225,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
-                 "msf", "louvain", "betweenness", "tfidf", "asof"],
+                 "msf", "louvain", "betweenness", "tfidf", "asof", "dedup"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -244,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-common", type=int, default=1,
                    help="linkpred: minimum shared neighbors per candidate pair")
     p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document")
+    p.add_argument("--minhash-k", type=int, default=16, help="dedup: minhash signature size")
+    p.add_argument("--bands", type=int, default=4, help="dedup: LSH bands (rows = k/bands)")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="dedup: n-gram Jaccard verification threshold")
+    p.add_argument("--max-bucket", type=int, default=1000,
+                   help="dedup: drop LSH buckets larger than this (degenerate content)")
     p.add_argument("--right", default=None, help="asof: right-side parquet table")
     p.add_argument("--on", default=None, help="asof: join key column(s), comma-separated")
     p.add_argument("--ts-col", default="ts", help="asof: timestamp column on both sides")

@@ -278,3 +278,38 @@ def near_dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full near-dup pipeline as one call: MinHash/LSH shortlist →
+    candidate-first n-gram Jaccard verification → CC cluster closure →
+    canonical selection. Returns (id_col, cluster_id, is_canonical,
+    n_members) — filter ``is_canonical`` for the deduplicated corpus.
+
+    Every stage is the scale path (banded buckets with a size cap,
+    shortlist-restricted verification, frontier CC) with the fast
+    xxhash64 hash family; ``q_dedup_pipeline`` is the same composition
+    under the portable md5 family the DuckDB oracle replays.
+    """
+    cands = minhash_lsh_candidates(
+        docs, k=k, bands=bands, ngram=ngram, id_col=id_col, text_col=text_col,
+        max_bucket=max_bucket,
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, ngram=ngram, id_col=id_col, text_col=text_col,
+        candidates=cands,
+    )
+    clusters = near_dup_clusters(docs, pairs.select("a_id", "b_id"), id_col=id_col)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return clusters.join(sizes, "cluster_id").select(
+        id_col, "cluster_id", "is_canonical", "n_members"
+    )

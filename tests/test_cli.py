@@ -211,3 +211,38 @@ def test_cli_msf_louvain_betweenness(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_cli_dedup_pipeline(spark, tmp_path):
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                base,
+                base + " extra",           # near-dup of 1
+                "completely different words about spark streaming engines",
+                base.replace("quick", "quick very"),  # near-dup of 1
+                "another unrelated document mentioning graphs and walks",
+            ],
+        }
+    )
+    dpath = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(dpath)
+    out = str(tmp_path / "dedup")
+    rc = main(
+        ["--graph", dpath, "--format", "parquet", "--app", "dedup",
+         "--minhash-k", "4", "--bands", "2", "--threshold", "0.5", "--out", out],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"], r["n_members"])
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # 1, 2, 4 cluster together; 3 and 5 stay singleton canonicals
+    assert got[1][0] == got[2][0] == got[4][0]
+    assert got[1][2] == 3
+    assert got[3][1] and got[5][1] and got[3][2] == 1 and got[5][2] == 1
+    assert sum(1 for c, canon, n in got.values() if canon) == 3
