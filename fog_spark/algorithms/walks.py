@@ -533,3 +533,163 @@ def weighted_random_walks(
             for i in range(0, len(parts), 2)
         ]
     return parts[0]
+
+
+# ---------------------------------------------------------------------------
+# alias-table weighted sampling (Walker 1977): O(1) draws, no rejection
+# ---------------------------------------------------------------------------
+
+_ALIAS_SCHEMA = (
+    "src long, idx long, dst long, prob long, alias_dst long, "
+    "outdeg long, tot long, dst_outdeg long, alias_outdeg long"
+)
+
+
+def build_alias_tables(
+    edges: DataFrame, weight_col: str = "weight", weight_scale: int = 10
+) -> DataFrame:
+    """Per-vertex Walker alias tables over integer edge weights.
+
+    Rejection sampling (``weighted_random_walks``) costs up to
+    ``attempts`` draws per step and degrades as max(w)/min(w) grows;
+    the alias table is the O(1)-per-draw scale path: slot j uniform in
+    [0, outdeg), threshold draw u uniform in [0, tot), next = dst[j]
+    if u < prob[j] else alias_dst[j] — EXACTLY weight-proportional by
+    construction (all-integer: scaled weights W_i = w_i·n split across
+    slots of mass tot each; P(i) = w_i/tot with no float rounding).
+
+    Construction is one ``applyInPandas`` pass over the out-adjacency
+    grouped by src — O(outdeg) work and memory per vertex, distributed
+    by source vertex exactly like the adjacency itself; deterministic
+    (dst-sorted order, LIFO pairing), so two builds are identical.
+
+    No SQL oracle replays this (the paired-slot construction is
+    procedural, not relational) — tests/test_walks_alias.py instead
+    proves P(dst) exact by Fraction enumeration and corpus-level
+    agreement with the rejection sampler's distribution.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w_int = F.round(F.col(weight_col) * weight_scale).cast("long")
+    ew = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w_int.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+    )
+    mn = ew.agg(F.min("w").alias("mn")).collect()[0]["mn"]
+    if mn is not None and mn < 1:
+        raise ValueError("integer weights must be >= 1 (raise weight_scale)")
+
+    def _build(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("dst").reset_index(drop=True)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        n = len(w)
+        tot = int(w.sum())
+        big = w.astype(object) * n  # python ints: no overflow at any degree
+        prob = np.empty(n, dtype=np.int64)
+        alias = np.arange(n, dtype=np.int64)
+        small = [i for i in range(n) if big[i] < tot]
+        large = [i for i in range(n) if big[i] >= tot]
+        while small and large:
+            s, l = small.pop(), large.pop()
+            prob[s] = big[s]
+            alias[s] = l
+            big[l] -= tot - big[s]
+            (small if big[l] < tot else large).append(l)
+        for i in small + large:  # exactly-average leftovers: always self
+            prob[i] = tot
+            alias[i] = i
+        return pd.DataFrame(
+            {
+                "src": pdf["src"],
+                "idx": np.arange(n, dtype=np.int64),
+                "dst": pdf["dst"],
+                "prob": prob,
+                "alias_dst": pdf["dst"].to_numpy()[alias],
+                "outdeg": np.int64(n),
+                "tot": np.int64(tot),
+                "dst_outdeg": np.int64(0),   # attached below
+                "alias_outdeg": np.int64(0),
+            }
+        )
+
+    # cut once: raw feeds BOTH the degree lookup and the table itself —
+    # uncut, the pandas build would execute twice (union-branch lore)
+    raw = ew.groupBy("src").applyInPandas(_build, schema=_ALIAS_SCHEMA).localCheckpoint(eager=False)
+    deg = raw.where(F.col("idx") == 0).select(
+        F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")
+    )
+    out = (
+        raw.drop("dst_outdeg", "alias_outdeg")
+        .join(deg, raw["dst"] == deg["d_id"], "left")
+        .drop("d_id")
+        .withColumnRenamed("d_outdeg", "dst_outdeg")
+    )
+    deg2 = deg.select(F.col("d_id").alias("a_id"), F.col("d_outdeg").alias("a_outdeg"))
+    return (
+        out.join(deg2, out["alias_dst"] == deg2["a_id"], "left")
+        .drop("a_id")
+        .withColumnRenamed("a_outdeg", "alias_outdeg")
+    )
+
+
+def weighted_random_walks_alias(
+    edges: DataFrame,
+    length: int = 4,
+    weight_col: str = "weight",
+    weight_scale: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    vertices: DataFrame | None = None,
+    plan_cuts: bool = True,
+) -> DataFrame:
+    """(walk_id, step, vertex): weight-proportional walks via the alias
+    tables — ONE (src, idx) point-lookup join per step, two hash draws,
+    zero rejection residue. Same output contract as
+    ``weighted_random_walks`` but a different (equally exact) draw
+    stream, so corpora differ walk-by-walk while the per-edge
+    transition distribution is identical.
+    """
+    _cut = (lambda df: df.localCheckpoint(eager=False)) if plan_cuts else (lambda df: df)
+    alias = _cut(build_alias_tables(edges, weight_col, weight_scale))
+    deg = alias.where(F.col("idx") == 0).select(
+        F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")
+    )
+    if vertices is None:
+        from fog_spark.engine.superstep import vertices_of
+
+        vertices = _cut(vertices_of(edges))
+    starts = vertices.select(
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)])).alias("rep"),
+        F.col("id").alias("vertex"),
+    ).select(
+        (F.col("vertex") * walks_per_vertex + F.col("rep")).alias("walk_id"), "vertex"
+    )
+    cur = _cut(
+        starts.join(deg, starts["vertex"] == deg["d_id"], "left")
+        .select("walk_id", "vertex", F.col("d_outdeg").alias("outdeg"))
+    )
+    parts = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    for t in range(1, length + 1):
+        slot = F.pmod(_hash_tag(F.col("walk_id"), f"{t}:s", seed), F.col("outdeg"))
+        drawn = cur.withColumn("slot", slot).join(
+            alias, (cur["vertex"] == alias["src"]) & (F.col("slot") == alias["idx"])
+        )
+        u = F.pmod(_hash_tag(F.col("walk_id"), f"{t}:u", seed), F.col("tot"))
+        nxt = drawn.select(
+            "walk_id",
+            F.when(u < F.col("prob"), F.col("dst")).otherwise(F.col("alias_dst")).alias("vertex"),
+            F.when(u < F.col("prob"), F.col("dst_outdeg"))
+            .otherwise(F.col("alias_outdeg"))
+            .alias("outdeg"),
+        )
+        cur = _cut(nxt)
+        parts.append(cur.select("walk_id", F.lit(t).alias("step"), "vertex"))
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

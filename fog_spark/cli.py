@@ -101,6 +101,13 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         if args.weighted:
             if "weight" not in edges.columns:
                 raise ValueError("--weighted needs a 'weight' column on the edge input")
+            if args.sampler == "alias":
+                from fog_spark.algorithms.walks import weighted_random_walks_alias
+
+                return weighted_random_walks_alias(
+                    edges, length=args.length, walks_per_vertex=args.walks_per_vertex,
+                    seed=args.seed, vertices=vertices,
+                )
             return weighted_random_walks(
                 edges, length=args.length, walks_per_vertex=args.walks_per_vertex,
                 seed=args.seed, attempts=args.attempts, vertices=vertices,
@@ -240,9 +247,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--q", type=int, default=1, help="node2vec in-out parameter (integer)")
     p.add_argument("--weighted", action="store_true",
                    help="walks: edge-weight-proportional picks (rejection-sampled)")
-    p.add_argument("--sampler", choices=["exact", "rejection"], default="exact",
+    p.add_argument("--sampler", choices=["exact", "rejection", "alias"], default="exact",
                    help="node2vec: exact gather vs KnightKing-style rejection "
-                        "(point lookups; use on hub-heavy graphs)")
+                        "(point lookups; use on hub-heavy graphs); "
+                        "walks --weighted: 'alias' = Walker-table O(1) draws")
     p.add_argument("--attempts", type=int, default=8,
                    help="node2vec rejection: batched draws per step before exact fallback")
     p.add_argument("--seeds", default=None,
