@@ -558,10 +558,15 @@ def build_alias_tables(
     construction (all-integer: scaled weights W_i = w_i·n split across
     slots of mass tot each; P(i) = w_i/tot with no float rounding).
 
-    Construction is one ``applyInPandas`` pass over the out-adjacency
-    grouped by src — O(outdeg) work and memory per vertex, distributed
-    by source vertex exactly like the adjacency itself; deterministic
-    (dst-sorted order, LIFO pairing), so two builds are identical.
+    Construction is one ``mapInPandas`` pass over the out-adjacency
+    repartitioned by src and sorted (src, dst) within partitions —
+    NOT an ``applyInPandas`` per-group call, which pays a pandas frame
+    per vertex and measurably dominates on real degree distributions
+    (20k outdeg-1 vertices cost ~45s per-group vs <1s batched). Group
+    boundaries are numpy slices; uniform-weight groups (including every
+    outdeg-1 vertex) shortcut to self-alias slots; only mixed-weight
+    groups run the paired-slot loop. Deterministic (dst-sorted order,
+    LIFO pairing), so two builds are identical.
 
     No SQL oracle replays this (the paired-slot construction is
     procedural, not relational) — tests/test_walks_alias.py instead
@@ -582,42 +587,78 @@ def build_alias_tables(
     if mn is not None and mn < 1:
         raise ValueError("integer weights must be >= 1 (raise weight_scale)")
 
-    def _build(pdf: pd.DataFrame):
-        pdf = pdf.sort_values("dst").reset_index(drop=True)
+    def _build_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
         w = pdf["w"].to_numpy(dtype=np.int64)
-        n = len(w)
-        tot = int(w.sum())
-        big = w.astype(object) * n  # python ints: no overflow at any degree
-        prob = np.empty(n, dtype=np.int64)
-        alias = np.arange(n, dtype=np.int64)
-        small = [i for i in range(n) if big[i] < tot]
-        large = [i for i in range(n) if big[i] >= tot]
-        while small and large:
-            s, l = small.pop(), large.pop()
-            prob[s] = big[s]
-            alias[s] = l
-            big[l] -= tot - big[s]
-            (small if big[l] < tot else large).append(l)
-        for i in small + large:  # exactly-average leftovers: always self
-            prob[i] = tot
-            alias[i] = i
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, m])
+        idx = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+        outdeg = np.repeat(sizes, sizes)
+        tot = np.repeat(np.add.reduceat(w, starts), sizes)
+        prob = np.empty(m, dtype=np.int64)
+        alias_pos = np.arange(m, dtype=np.int64)
+        for g in range(len(starts)):
+            a, n = int(starts[g]), int(sizes[g])
+            b = a + n
+            wg = w[a:b]
+            T = int(tot[a])
+            if n == 1 or (wg == wg[0]).all():
+                prob[a:b] = T  # uniform slots: always self
+                continue
+            big = [int(x) * n for x in wg]  # python ints: no overflow
+            small = [i for i in range(n) if big[i] < T]
+            large = [i for i in range(n) if big[i] >= T]
+            while small and large:
+                s, l = small.pop(), large.pop()
+                prob[a + s] = big[s]
+                alias_pos[a + s] = a + l
+                big[l] -= T - big[s]
+                (small if big[l] < T else large).append(l)
+            for i in small + large:  # exactly-average leftovers: self
+                prob[a + i] = T
+                alias_pos[a + i] = a + i
         return pd.DataFrame(
             {
-                "src": pdf["src"],
-                "idx": np.arange(n, dtype=np.int64),
-                "dst": pdf["dst"],
+                "src": src,
+                "idx": idx,
+                "dst": dst,
                 "prob": prob,
-                "alias_dst": pdf["dst"].to_numpy()[alias],
-                "outdeg": np.int64(n),
-                "tot": np.int64(tot),
-                "dst_outdeg": np.int64(0),   # attached below
-                "alias_outdeg": np.int64(0),
+                "alias_dst": dst[alias_pos],
+                "outdeg": outdeg,
+                "tot": tot,
+                "dst_outdeg": np.zeros(m, dtype=np.int64),  # attached below
+                "alias_outdeg": np.zeros(m, dtype=np.int64),
             }
         )
 
+    def _build(batches):
+        # Arrow batches can split a vertex's adjacency mid-group: hold
+        # back the last (possibly partial) src group and prepend it to
+        # the next batch; flush it at end-of-partition. Correct because
+        # rows arrive sorted by (src, dst) and a src never spans
+        # partitions (repartition("src")).
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            tail = pdf["src"].to_numpy()
+            keep = tail == tail[-1]
+            carry = pdf[keep]
+            body = pdf[~keep]
+            if len(body):
+                yield _build_block(body.reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield _build_block(carry.reset_index(drop=True))
+
+    dist = ew.repartition("src").sortWithinPartitions("src", "dst")
     # cut once: raw feeds BOTH the degree lookup and the table itself —
     # uncut, the pandas build would execute twice (union-branch lore)
-    raw = ew.groupBy("src").applyInPandas(_build, schema=_ALIAS_SCHEMA).localCheckpoint(eager=False)
+    raw = dist.mapInPandas(_build, schema=_ALIAS_SCHEMA).localCheckpoint(eager=False)
     deg = raw.where(F.col("idx") == 0).select(
         F.col("src").alias("d_id"), F.col("outdeg").alias("d_outdeg")
     )

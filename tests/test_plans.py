@@ -190,3 +190,28 @@ def test_jaccard_candidates_plan_is_candidate_first(spark):
     assert re.search(
         r"Join\s*(?:\w+\s+)?\[b_id#\d+L?, t#\d+L?\],\s*\[(?:b_)?id#\d+L?, t#\d+L?\]", plan
     ), "expected a composite (b_id, t) equi-join in the candidates plan"
+
+
+def test_alias_walk_step_is_point_lookup_join(spark):
+    """The alias walk step must equi-join on BOTH (vertex, src) AND
+    (slot, idx) — one adjacency row per walk — and never apply the
+    slot pick as a post-join filter (the O(sum outdeg) failure shape
+    the rejection/deepwalk samplers already pin)."""
+    import re
+
+    from fog_spark.algorithms.walks import weighted_random_walks_alias
+
+    w = weighted_random_walks_alias(
+        cooccur_edges(spark, SF), length=2, seed=42, plan_cuts=False
+    )
+    plan = _plan(w)
+    step_joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*"
+        r"(?:\w+\s+)?\[([^\]]*slot[^\]]*)\],\s*\[([^\]]*)\]", plan)
+    assert len(step_joins) >= 2, f"expected two-key step joins, got {step_joins}"
+    for left_keys, right_keys in step_joins:
+        assert "slot" in left_keys and "idx" in right_keys
+    for line in plan.splitlines():
+        s = line.strip(" :+-")
+        if s.startswith("Filter") and "pmod" in s:
+            raise AssertionError(f"slot applied as post-join filter: {s[:200]}")
