@@ -48,10 +48,32 @@ def connected_components(
     ctx=None,
     hub_threshold: int | None = HUB_DEGREE_THRESHOLD,
     n_salts: int = 16,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns (id, component) — component = min id of the WCC. Exact."""
+    """Returns (id, component) — component = min id of the WCC. Exact.
+
+    ``init_labels`` ((id, component)) warm-starts an incremental run —
+    the previous fixed point after a delta batch grew the graph
+    (``streaming.read_edge_log``). Two things happen: vertices start at
+    their old label instead of their own id, and each (id, old-label)
+    pair is unioned into the edge set as a SHORTCUT edge — old labels
+    alone don't help (the new min still walks the old component's
+    topology hop by hop), but the label star contracts every old
+    component to diameter <= 2, so convergence needs only as many
+    rounds as the contracted delta graph. The result is exactly the
+    cold answer PROVIDED the old labels come from a run over a subset
+    of the current graph (grow-only log): every old label is the id of
+    a current member vertex, so min-over-labels = min id, and shortcut
+    edges are chords inside components.
+    """
     vertices = vertices if vertices is not None else vertices_of(edges)
-    sym = symmetrize(edges)  # self-loops dropped: TARGET rule cpu_thread.cpp:236-240
+    base = edges
+    if init_labels is not None:
+        star = init_labels.select(
+            F.col("id").alias("src"), F.col("component").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        base = edges.select("src", "dst").unionByName(star)
+    sym = symmetrize(base)  # self-loops dropped: TARGET rule cpu_thread.cpp:236-240
 
     salted, hubs = False, None
     if hub_threshold is not None:
@@ -62,7 +84,18 @@ def connected_components(
             sym = tag_hubs(sym, hubs)
 
     # state carries a `changed` flag; the frontier is a projection of it.
-    state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+    if init_labels is not None:
+        wl = init_labels.select(F.col("id").alias("wid"), F.col("component").alias("wcomp"))
+        state = (
+            vertices.join(wl, vertices["id"] == F.col("wid"), "left")
+            .select(
+                "id",
+                F.coalesce("wcomp", F.col("id")).alias("comp"),
+                F.lit(True).alias("changed"),
+            )
+        )
+    else:
+        state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
     start_step = 0
     if ctx is not None:
         rp = ctx.resume_point()
