@@ -16,3 +16,4 @@ from fog_spark.algorithms.msf import minimum_spanning_forest  # noqa: F401
 from fog_spark.algorithms.community import louvain_local_move, modularity  # noqa: F401
 from fog_spark.algorithms.betweenness import betweenness_sampled  # noqa: F401
 from fog_spark.algorithms.walks import build_alias_tables, weighted_random_walks_alias  # noqa: F401
+from fog_spark.algorithms.ktruss import k_truss  # noqa: F401

@@ -144,6 +144,10 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         return common_neighbor_scores(
             edges, max_degree=args.max_degree, min_common=args.min_common
         )
+    if args.app == "ktruss":
+        from fog_spark.algorithms.ktruss import k_truss
+
+        return k_truss(edges, k=args.k, ctx=ctx)
     if args.app == "msf":
         from fog_spark.algorithms.msf import minimum_spanning_forest
 
@@ -232,14 +236,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
-                 "msf", "louvain", "betweenness", "tfidf", "asof", "dedup"],
+                 "msf", "louvain", "betweenness", "ktruss", "tfidf", "asof", "dedup"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
     p.add_argument("--max-iters", type=int, default=10_000)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--root", "-r", type=int, default=0, help="bfs/sssp root (options_utils.h:45-46)")
-    p.add_argument("--k", type=int, default=3, help="kcore: minimum surviving degree")
+    p.add_argument("--k", type=int, default=3, help="kcore: minimum surviving degree; ktruss: truss order")
     p.add_argument("--length", type=int, default=4, help="walks/node2vec: steps per walk")
     p.add_argument("--walks-per-vertex", type=int, default=1)
     p.add_argument("--seed", type=int, default=42, help="walks/node2vec: hash seed")

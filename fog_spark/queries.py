@@ -2746,3 +2746,57 @@ def _sql_betweenness(k_depth: int, roots: tuple) -> str:
 
 QUERIES["betweenness_d4"] = q_betweenness_d4
 ORACLES["betweenness_d4"] = _sql_betweenness(BC_DEPTH, BC_ROOTS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: k-truss (support peeling, fixed-round oracle form)
+# ---------------------------------------------------------------------------
+
+KTRUSS_K, KTRUSS_ROUNDS = 4, 2
+
+
+def q_ktruss4_r2(spark, sf_dir):
+    """k-truss support peel (algorithms/ktruss.k_truss), k=4, exactly 2
+    rounds — the fixed-depth form the unrolled oracle replays (full
+    convergence is pytest-oracled against a Python peeler). Support
+    counting reuses the degree-ordered triangle orientation, re-derived
+    per round from the surviving edges."""
+    from fog_spark.algorithms.ktruss import k_truss
+
+    return k_truss(cooccur_edges(spark, sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def _sql_ktruss(k: int, rounds: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"d{i} AS MATERIALIZED (SELECT v, count(*) AS deg FROM "
+            f"(SELECT a AS v FROM u{p} UNION ALL SELECT b FROM u{p}) GROUP BY v)",
+            # degree-ordered orientation (ties by id) of the survivors
+            f"o{i} AS MATERIALIZED (SELECT "
+            f"CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) "
+            f"THEN u.a ELSE u.b END AS lo, "
+            f"CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) "
+            f"THEN u.b ELSE u.a END AS hi "
+            f"FROM u{p} u JOIN d{i} da ON u.a = da.v JOIN d{i} db ON u.b = db.v)",
+            f"t{i} AS MATERIALIZED (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z "
+            f"FROM o{i} e1 JOIN o{i} e2 ON e2.lo = e1.hi "
+            f"JOIN o{i} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)",
+            f"s{i} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM ("
+            f"SELECT least(x, y) AS a, greatest(x, y) AS b FROM t{i} "
+            f"UNION ALL SELECT least(y, z), greatest(y, z) FROM t{i} "
+            f"UNION ALL SELECT least(x, z), greatest(x, z) FROM t{i}) GROUP BY a, b)",
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM u{p} u "
+            f"LEFT JOIN s{i} s ON s.a = u.a AND s.b = u.b "
+            f"WHERE coalesce(s.sup, 0) >= {k - 2})",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM u{rounds}"
+
+
+QUERIES["ktruss4_r2"] = q_ktruss4_r2
+ORACLES["ktruss4_r2"] = _sql_ktruss(KTRUSS_K, KTRUSS_ROUNDS)

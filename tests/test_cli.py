@@ -246,3 +246,16 @@ def test_cli_dedup_pipeline(spark, tmp_path):
     assert got[1][2] == 3
     assert got[3][1] and got[5][1] and got[3][2] == 1 and got[5][2] == 1
     assert sum(1 for c, canon, n in got.values() if canon) == 3
+
+
+def test_cli_ktruss(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "kt")
+    rc = main(["--graph", path, "--app", "ktruss", "--k", "3", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.ktruss import k_truss
+    from fog_spark.sources.edgelist import read_edgelist
+
+    expect = sorted(map(tuple, k_truss(read_edgelist(spark, path), 3).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
