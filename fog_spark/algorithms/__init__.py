@@ -17,3 +17,4 @@ from fog_spark.algorithms.community import louvain_local_move, modularity  # noq
 from fog_spark.algorithms.betweenness import betweenness_sampled  # noqa: F401
 from fog_spark.algorithms.walks import build_alias_tables, weighted_random_walks_alias  # noqa: F401
 from fog_spark.algorithms.ktruss import k_truss  # noqa: F401
+from fog_spark.algorithms.coreness import coreness  # noqa: F401

@@ -144,6 +144,10 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         return common_neighbor_scores(
             edges, max_degree=args.max_degree, min_common=args.min_common
         )
+    if args.app == "coreness":
+        from fog_spark.algorithms.coreness import coreness
+
+        return coreness(edges, vertices=vertices, ctx=ctx)
     if args.app == "ktruss":
         from fog_spark.algorithms.ktruss import k_truss
 
@@ -236,7 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
-                 "msf", "louvain", "betweenness", "ktruss", "tfidf", "asof", "dedup"],
+                 "msf", "louvain", "betweenness", "ktruss", "coreness", "tfidf", "asof", "dedup"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")

@@ -2800,3 +2800,44 @@ def _sql_ktruss(k: int, rounds: int) -> str:
 
 QUERIES["ktruss4_r2"] = q_ktruss4_r2
 ORACLES["ktruss4_r2"] = _sql_ktruss(KTRUSS_K, KTRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: full core decomposition (h-index iteration, fixed-round form)
+# ---------------------------------------------------------------------------
+
+CORENESS_ROUNDS = 3
+
+
+def q_coreness_r3(spark, sf_dir):
+    """Coreness upper bounds after exactly 3 h-index refinements
+    (algorithms/coreness; Montresor et al. 2011) — the fixed-depth form
+    the unrolled oracle replays; full convergence to exact coreness is
+    pytest-oracled against the Batagelj-Zaversnik peel."""
+    from fog_spark.algorithms.coreness import coreness
+
+    return coreness(cooccur_edges(spark, sf_dir), rounds=CORENESS_ROUNDS)
+
+
+def _sql_coreness(rounds: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM edges WHERE src <> dst))",
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM sym GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"m{i} AS (SELECT s.dst AS id, c.c FROM sym s JOIN c{p} c ON c.id = s.src)",
+            # h-index: max over the descending rank of least(value, rank)
+            f"c{i} AS MATERIALIZED (SELECT id, max(least(c, rn))::BIGINT AS c FROM "
+            f"(SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY c DESC) AS rn "
+            f"FROM m{i}) GROUP BY id)",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, c AS coreness FROM c{rounds}"
+
+
+QUERIES["coreness_r3"] = q_coreness_r3
+ORACLES["coreness_r3"] = _sql_coreness(CORENESS_ROUNDS)

@@ -259,3 +259,18 @@ def test_cli_ktruss(spark, tmp_path):
 
     expect = sorted(map(tuple, k_truss(read_edgelist(spark, path), 3).collect()))
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+
+def test_cli_coreness(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    out = str(tmp_path / "cn")
+    rc = main(["--graph", path, "--app", "coreness", "--out", out], spark=spark)
+    assert rc == 0
+    from tests.test_coreness import py_coreness
+
+    E = [(int(s), int(d)) for s, d in g.edges]
+    want = py_coreness(E)
+    got = {r["id"]: r["coreness"] for r in spark.read.parquet(out).collect()}
+    for v, c in want.items():
+        assert got[v] == c, v
