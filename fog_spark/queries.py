@@ -2841,3 +2841,64 @@ def _sql_coreness(rounds: int) -> str:
 
 QUERIES["coreness_r3"] = q_coreness_r3
 ORACLES["coreness_r3"] = _sql_coreness(CORENESS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: diameter lower bound by double sweep (iFUB stage 1)
+# ---------------------------------------------------------------------------
+
+
+def q_diameter_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound (the iFUB starting heuristic,
+    Crescenzi et al. 2013): BFS from the min-id vertex, hop to the
+    farthest vertex (ties to min id), BFS again — the second
+    eccentricity lower-bounds the true diameter and is exact on trees.
+    Composed from multi_source_bfs; the two argmax hops are 1-row
+    driver-scale collects."""
+    from fog_spark.algorithms.msbfs import multi_source_bfs
+    from fog_spark.engine.superstep import vertices_of
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    v0 = int(vertices_of(edges).agg(F.min("id")).collect()[0][0])
+    d1 = multi_source_bfs(edges, [v0])
+    far = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).select("id", "dist").first()
+    d2 = multi_source_bfs(edges, [int(far["id"])])
+    ecc2 = int(d2.agg(F.max("dist")).collect()[0][0])
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(v0, int(far["id"]), int(far["dist"]), ecc2)],
+        "start_id long, far_id long, ecc_start long, diameter_lb long",
+    )
+
+
+DIAM_CAP = 30
+
+SQL_DIAMETER_SWEEP = f"""
+WITH RECURSIVE {EDGES_CTE},
+nsl AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+r0 AS (SELECT min(id) AS id FROM verts),
+r1 AS (
+  SELECT id, 0 AS dist FROM r0
+  UNION
+  SELECT e.dst AS id, r.dist + 1 AS dist FROM r1 r JOIN nsl e ON e.src = r.id
+  WHERE r.dist < {DIAM_CAP}
+),
+d1 AS (SELECT id, min(dist) AS dist FROM r1 GROUP BY id),
+far AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+r2 AS (
+  SELECT id, 0 AS dist FROM (SELECT id FROM far)
+  UNION
+  SELECT e.dst AS id, r.dist + 1 AS dist FROM r2 r JOIN nsl e ON e.src = r.id
+  WHERE r.dist < {DIAM_CAP}
+),
+d2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY id)
+SELECT (SELECT id FROM r0)::BIGINT AS start_id,
+       far.id::BIGINT AS far_id,
+       far.dist::BIGINT AS ecc_start,
+       (SELECT max(dist) FROM d2)::BIGINT AS diameter_lb
+FROM far
+"""
+
+QUERIES["diameter_sweep"] = q_diameter_sweep
+ORACLES["diameter_sweep"] = SQL_DIAMETER_SWEEP
