@@ -1,0 +1,126 @@
+"""Approximate neighborhood function (ANF / HyperBall) via KMV sketches.
+
+Per-vertex out-ball size |B(v, r)| — the number of distinct vertices
+reachable from v in at most r hops — estimated for EVERY vertex in one
+superstep loop. This is the HyperBall algorithm (Boldi & Vigna 2013,
+"In-Core Computation of Geometric Centralities with HyperBall"; the
+recurrence is Palmer/Gibbons/Faloutsos ANF, KDD 2002) with the
+HyperLogLog counter replaced by the repo's KMV bottom-k sketch
+(datapipe/sketches.py): KMV's estimate is a deterministic md5-based
+function of the reachable SET, so an external oracle that computes the
+exact ball membership reproduces every estimate bit-for-bit — an
+approximate algorithm with an exact correctness gate, same trick as
+``kmv_reach``.
+
+Recurrence:  B(v, r) = {v} ∪ ⋃_{(v,u) ∈ E} B(u, r-1)
+
+and bottom-k sketches are mergeable under exactly that union
+(bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B))), so the superstep
+carries ≤ k hashes per vertex no matter how large the balls grow.
+
+Plan shape per round: ONE gather join (edges ⋈ state on dst → src) +
+ONE groupBy whose merge is flatten/array_distinct/array_sort/slice —
+all JVM built-ins inside whole-stage codegen, no Python. State is |V|
+rows × ≤ k longs; at 10^12 edges each round is one keyed shuffle of
+bounded-width rows and the agg does map-side partial merging like any
+associative aggregate. Reference parity: FOG has no sketch operator —
+this extends its per-vertex iterate-until-radius loop (the same
+scatter/gather shape as application/bfs.hpp) to cardinality sketches.
+
+Convergence: B(v, r) stops growing once r reaches v's eccentricity, so
+``neighborhood_function`` also reports the summed estimate per round —
+the classic ANF curve N(r) used for effective-diameter estimation.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from fog_spark.datapipe.sketches import _KMV_BITS, _kmv_hash
+from fog_spark.engine.superstep import materialize, materialize_observed, vertices_of
+
+
+def _merged_bottom_k(k: int):
+    """groupBy-agg expression: union the group's sketches, keep the k
+    smallest hashes (ascending) — the KMV merge."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("hvs")))), 1, k
+    )
+
+
+def estimate_from_sketch(k: int):
+    """(n_seen, estimate) columns from a bottom-k ``hvs`` array.
+
+    size < k  → the ball was captured whole: exact count;
+    size == k → (k-1) / R_k with R_k = k-th smallest normalized hash.
+    """
+    n = F.size("hvs")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.element_at("hvs", k) / F.lit(float(2 ** _KMV_BITS)))
+    )
+    return n.cast("long").alias("n_seen"), est.alias("estimate")
+
+
+def neighborhood_sketches(
+    edges: DataFrame,
+    radius: int,
+    k: int = 16,
+    ctx=None,
+) -> DataFrame:
+    """(id, hvs): the bottom-k KMV sketch of the out-ball B(id, radius)
+    over the directed graph ``edges`` (src, dst). Self-loops are
+    ignored (v is in its own ball regardless).
+
+    Checkpoint/resume through ``ctx`` like every other superstep
+    algorithm — the sketch array IS the state, so a resumed run
+    continues growing balls from the committed round.
+    """
+    fwd = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = vertices_of(fwd).select(
+        "id", F.array(_kmv_hash(F.col("id"))).alias("hvs")
+    )
+
+    start = 0
+    if ctx is not None:
+        rp = ctx.resume_point_at_most(radius)
+        if rp is not None:
+            start, state = rp
+    if start == 0:
+        state = materialize(state, ctx, 0)
+
+    for r in range(start + 1, radius + 1):
+        t0 = time.time()
+        contrib = fwd.join(state, fwd["dst"] == state["id"]).select(
+            fwd["src"].alias("id"), "hvs"
+        )
+        merged = state.unionByName(contrib).groupBy("id").agg(
+            _merged_bottom_k(k).alias("hvs")
+        )
+        # total sketch mass rides the materialize job: the ANF curve
+        # N(r) ~ Σ_v |sketch| saturates exactly when the balls do
+        state, om = materialize_observed(
+            merged, [F.sum(F.size("hvs")).alias("mass")], ctx, r
+        )
+        if ctx is not None:
+            ctx.commit(r, active=int(om["mass"] or 0), delta=None,
+                       wall_s=time.time() - t0, lineage=ctx.lineage_of(state))
+    return state
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int,
+    k: int = 16,
+    ctx=None,
+) -> DataFrame:
+    """(id, n_seen, estimate): per-vertex estimated |B(id, radius)|."""
+    sk = neighborhood_sketches(edges, radius, k=k, ctx=ctx)
+    n_seen, est = estimate_from_sketch(k)
+    return sk.select("id", n_seen, est)

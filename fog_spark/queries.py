@@ -2902,3 +2902,58 @@ FROM far
 
 QUERIES["diameter_sweep"] = q_diameter_sweep
 ORACLES["diameter_sweep"] = SQL_DIAMETER_SWEEP
+
+
+# ---------------------------------------------------------------------------
+# round 5: approximate neighborhood function (ANF / HyperBall with KMV)
+# ---------------------------------------------------------------------------
+
+ANF_K = 16
+ANF_RADIUS = 3
+
+
+def q_anf_ball3(spark, sf_dir):
+    """Per-vertex out-ball size |B(v, 3)| on the order-chain directed
+    graph, estimated by HyperBall-style sketch propagation
+    (algorithms/anf.py) with the deterministic KMV bottom-k sketch
+    (k=16). The oracle computes the EXACT ball membership by a 3-round
+    unrolled closure, applies the identical md5 bottom-k rule, and
+    matches every estimate bit-for-bit."""
+    from fog_spark.algorithms.anf import neighborhood_function
+
+    out = neighborhood_function(
+        directed_edges(spark, sf_dir), radius=ANF_RADIUS, k=ANF_K
+    )
+    return out.select(
+        "id", "n_seen", F.round("estimate", 6).alias("est_r")
+    )
+
+
+def _sql_anf(radius: int, k: int) -> str:
+    balls = []
+    for r in range(1, radius + 1):
+        balls.append(
+            f"b{r} AS MATERIALIZED (SELECT DISTINCT v, m FROM (\n"
+            f"  SELECT v, m FROM b{r-1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT e.src AS v, b.m FROM dedges e JOIN b{r-1} b ON b.v = e.dst))"
+        )
+    hv = _hex_fold_sql("md5(m::VARCHAR)", 13)
+    return f"""
+WITH {DEDGES_CTE},
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges)),
+b0 AS (SELECT id AS v, id AS m FROM verts),
+{','.join(balls)},
+h AS (SELECT v, {hv} + 1 AS hv FROM b{radius}),
+r AS (SELECT v, hv, row_number() OVER (PARTITION BY v ORDER BY hv) AS rk,
+             count(*) OVER (PARTITION BY v) AS nd FROM h),
+s AS (SELECT * FROM r WHERE rk = least(nd, {k}))
+SELECT v AS id, least(nd, {k})::BIGINT AS n_seen,
+       round(CASE WHEN nd < {k} THEN nd::DOUBLE
+                  ELSE {k - 1}.0 / (hv / {float(2 ** 52)!r}) END, 6) AS est_r
+FROM s
+"""
+
+
+QUERIES["anf_ball3"] = q_anf_ball3
+ORACLES["anf_ball3"] = _sql_anf(ANF_RADIUS, ANF_K)
