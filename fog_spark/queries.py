@@ -2957,3 +2957,60 @@ FROM s
 
 QUERIES["anf_ball3"] = q_anf_ball3
 ORACLES["anf_ball3"] = _sql_anf(ANF_RADIUS, ANF_K)
+
+
+# ---------------------------------------------------------------------------
+# round 5: SALSA (stochastic hubs & authorities)
+# ---------------------------------------------------------------------------
+
+SALSA_ITERS = 2
+
+
+def q_salsa_k2(spark, sf_dir):
+    """SALSA on the order-chain directed graph, 2 backward/forward
+    rounds (algorithms/salsa.py). Column-stochastic updates conserve
+    mass, so unlike hits_k2 the oracle needs no norm scalars — just
+    the two degree-normalized gathers unrolled."""
+    from fog_spark.algorithms.salsa import salsa
+
+    out = salsa(directed_edges(spark, sf_dir), niters=SALSA_ITERS)
+    return out.select(
+        "id",
+        F.round("authority", 9).alias("auth_r"),
+        F.round("hub", 9).alias("hub_r"),
+    )
+
+
+def _sql_salsa(k: int) -> str:
+    steps = []
+    prev_a = "a0"
+    for t in range(1, k + 1):
+        steps.append(
+            f"h{t} AS MATERIALIZED (SELECT e.src AS id, sum(a.a / i.ind) AS h\n"
+            f"  FROM dedges e JOIN ind i ON i.dst = e.dst\n"
+            f"  JOIN {prev_a} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        steps.append(
+            f"a{t} AS MATERIALIZED (SELECT e.dst AS id, sum(h.h / o.od) AS a\n"
+            f"  FROM dedges e JOIN od o ON o.src = e.src\n"
+            f"  JOIN h{t} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        prev_a = f"a{t}"
+    return f"""
+WITH {DEDGES_CTE},
+ind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM dedges GROUP BY dst),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM dedges GROUP BY src),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges)),
+a0 AS (SELECT dst AS id, 1.0 / (SELECT count(*) FROM ind) AS a FROM ind),
+{','.join(steps)}
+SELECT v.id,
+       round(coalesce(a{k}.a, 0.0), 9) AS auth_r,
+       round(coalesce(h{k}.h, 0.0), 9) AS hub_r
+FROM verts v
+LEFT JOIN a{k} ON a{k}.id = v.id
+LEFT JOIN h{k} ON h{k}.id = v.id
+"""
+
+
+QUERIES["salsa_k2"] = q_salsa_k2
+ORACLES["salsa_k2"] = _sql_salsa(SALSA_ITERS)
