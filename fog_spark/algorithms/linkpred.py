@@ -72,3 +72,49 @@ def common_neighbor_scores(
             (F.col("da") * F.col("db")).alias("pref_attach"),
         )
     )
+
+
+def cocitation_coupling(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """(a, b, cocited, coupled) for vertex pairs a < b over the DIRECTED
+    simple graph: cocited = |{v : v→a ∧ v→b}| (co-citation, Small 1973),
+    coupled = |{v : a→v ∧ b→v}| (bibliographic coupling, Kessler 1963).
+
+    Same wedge-join scale shape as ``common_neighbor_scores``: pairs
+    are generated only through a shared center — the citing vertex for
+    co-citation, the cited vertex for coupling — with hub centers
+    excluded via ``max_degree`` (a center of out/in-degree d emits
+    d(d-1)/2 pairs). Pairs below ``min_count`` on BOTH measures are
+    dropped; a pair present on one measure reports 0 on the other.
+    """
+    ded = edges.filter(F.col("src") != F.col("dst")).select("src", "dst") \
+        .distinct().localCheckpoint(eager=False)
+
+    def pair_counts(adj: DataFrame, name: str) -> DataFrame:
+        # adj: (w, x) — center w, endpoint x
+        deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+        centers = deg if max_degree is None else deg.filter(F.col("d") <= max_degree)
+        adjc = adj.join(centers.select("w"), "w")
+        a = adjc.select("w", F.col("x").alias("a"))
+        b = adjc.select("w", F.col("x").alias("b"))
+        return (
+            a.join(b, "w")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cocite = pair_counts(ded.select(F.col("src").alias("w"), F.col("dst").alias("x")), "cocited")
+    couple = pair_counts(ded.select(F.col("dst").alias("w"), F.col("src").alias("x")), "coupled")
+    out = (
+        cocite.join(couple, ["a", "b"], "full_outer")
+        .select(
+            "a", "b",
+            F.coalesce("cocited", F.lit(0)).alias("cocited"),
+            F.coalesce("coupled", F.lit(0)).alias("coupled"),
+        )
+    )
+    return out.filter((F.col("cocited") >= min_count) | (F.col("coupled") >= min_count))

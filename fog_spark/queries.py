@@ -3014,3 +3014,40 @@ LEFT JOIN h{k} ON h{k}.id = v.id
 
 QUERIES["salsa_k2"] = q_salsa_k2
 ORACLES["salsa_k2"] = _sql_salsa(SALSA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: co-citation & bibliographic coupling
+# ---------------------------------------------------------------------------
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation / bibliographic-coupling pair counts on the
+    order-chain directed graph (algorithms/linkpred.cocitation_coupling)
+    — the classic citation-graph pair measures, generated through the
+    shared-center wedge join (never all-pairs)."""
+    from fog_spark.algorithms.linkpred import cocitation_coupling
+
+    return cocitation_coupling(directed_edges(spark, sf_dir)).select(
+        "a", "b",
+        F.col("cocited").cast("long").alias("cocited"),
+        F.col("coupled").cast("long").alias("coupled"),
+    )
+
+
+SQL_COCITATION = f"""
+WITH {DEDGES_CTE},
+co AS (SELECT x.dst AS a, y.dst AS b, count(*) AS cocited
+       FROM dedges x JOIN dedges y ON x.src = y.src AND x.dst < y.dst
+       GROUP BY 1, 2),
+cp AS (SELECT x.src AS a, y.src AS b, count(*) AS coupled
+       FROM dedges x JOIN dedges y ON x.dst = y.dst AND x.src < y.src
+       GROUP BY 1, 2)
+SELECT coalesce(co.a, cp.a) AS a, coalesce(co.b, cp.b) AS b,
+       coalesce(cocited, 0)::BIGINT AS cocited,
+       coalesce(coupled, 0)::BIGINT AS coupled
+FROM co FULL OUTER JOIN cp ON co.a = cp.a AND co.b = cp.b
+"""
+
+QUERIES["cocitation"] = q_cocitation
+ORACLES["cocitation"] = SQL_COCITATION

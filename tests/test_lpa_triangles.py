@@ -302,3 +302,39 @@ def test_weighted_walks_replayed_in_python(spark):
             assert path[t] == expected, (wid, t, path[t], expected)
             cur = path[t]
     assert n_fb > 0  # low weights + 2 attempts must exercise the fallback
+
+
+def test_cocitation_coupling_brute_force(spark):
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from fog_spark.algorithms.linkpred import cocitation_coupling
+
+    rng = random.Random(11)
+    E = list({(rng.randrange(25), rng.randrange(25)) for _ in range(120)})
+    E = [(a, b) for a, b in E if a != b]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    got = {(r["a"], r["b"]): (r["cocited"], r["coupled"])
+           for r in cocitation_coupling(df).collect()}
+
+    outs, ins = {}, {}
+    for s, d in E:
+        outs.setdefault(s, set()).add(d)
+        ins.setdefault(d, set()).add(s)
+    verts = sorted({v for e in E for v in e})
+    exp = {}
+    for a, b in itertools.combinations(verts, 2):
+        co = len(ins.get(a, set()) & ins.get(b, set()))
+        cp = len(outs.get(a, set()) & outs.get(b, set()))
+        if co or cp:
+            exp[(a, b)] = (co, cp)
+    assert got == exp
+
+    # hub cap: a center citing 6 docs emits no pairs when capped below 6
+    star = spark.createDataFrame(
+        pd.DataFrame([(99, i) for i in range(6)], columns=["src", "dst"])
+    )
+    assert cocitation_coupling(star).count() == 15  # C(6,2)
+    assert cocitation_coupling(star, max_degree=5).count() == 0
