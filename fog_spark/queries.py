@@ -3051,3 +3051,82 @@ FROM co FULL OUTER JOIN cp ON co.a = cp.a AND co.b = cp.b
 
 QUERIES["cocitation"] = q_cocitation
 ORACLES["cocitation"] = SQL_COCITATION
+
+
+# ---------------------------------------------------------------------------
+# round 5: densest subgraph by (1+eps)-greedy peeling
+# ---------------------------------------------------------------------------
+
+DS_ROUNDS = 4
+DS_EPS_NUM, DS_EPS_DEN = 3, 10  # eps = 0.3; peel if 10*deg*nv <= 13*sd
+
+
+def q_densest_peel(spark, sf_dir):
+    """Densest-subgraph peeling (algorithms/densest.py) on the part
+    co-occurrence graph: 4 fixed rounds, eps=3/10. Output is the full
+    peel trajectory — (id, removed_round, in_densest) where in_densest
+    marks membership of the densest examined prefix. Thresholds and the
+    best-round argmax are exact integer arithmetic, so the oracle
+    replays every removal decision."""
+    from fog_spark.algorithms.densest import densest_subgraph
+
+    res = densest_subgraph(
+        cooccur_edges(spark, sf_dir),
+        eps_num=DS_EPS_NUM, eps_den=DS_EPS_DEN, max_rounds=DS_ROUNDS,
+    )
+    return res.rounds.select(
+        "id",
+        F.col("removed_round").cast("long").alias("removed_round"),
+        (F.col("removed_round") >= res.best_round).cast("int").alias("in_densest"),
+    )
+
+
+def _sql_densest(rounds: int, num: int, den: int) -> str:
+    thr_mul, sd_mul = den, den + num
+    parts = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT e.src, e.dst FROM sedges e\n"
+            f"  JOIN alive{t} a ON a.id = e.src JOIN alive{t} b ON b.id = e.dst)"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT a.id, count(x.src) AS deg\n"
+            f"  FROM alive{t} a LEFT JOIN e{t} x ON x.src = a.id GROUP BY a.id)"
+        )
+        parts.append(f"r{t} AS (SELECT sum(deg) AS sd, count(*) AS nv FROM d{t})")
+        parts.append(
+            f"x{t} AS (SELECT d.id, d.deg, r.sd, r.nv FROM d{t} d CROSS JOIN r{t} r)"
+        )
+        parts.append(
+            f"rm{t} AS (SELECT id, {t} AS removed_round FROM x{t}\n"
+            f"  WHERE {thr_mul}*deg*nv <= {sd_mul}*sd)"
+        )
+        parts.append(
+            f"alive{t + 1} AS (SELECT id FROM x{t} WHERE {thr_mul}*deg*nv > {sd_mul}*sd)"
+        )
+    rounds_union = " UNION ALL ".join(
+        f"SELECT {t} AS t, sd, nv FROM r{t} WHERE nv > 0" for t in range(1, rounds + 1)
+    )
+    rm_union = " UNION ALL ".join(
+        [f"SELECT id, removed_round FROM rm{t}" for t in range(1, rounds + 1)]
+        + [f"SELECT id, {rounds + 1} AS removed_round FROM alive{rounds + 1}"]
+    )
+    return f"""
+WITH {EDGES_CTE},
+sedges AS MATERIALIZED (SELECT src, dst FROM edges),
+alive1 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+{','.join(parts)},
+rounds AS ({rounds_union}),
+best AS (SELECT t FROM rounds r WHERE NOT EXISTS (
+  SELECT 1 FROM rounds q
+  WHERE q.sd * r.nv > r.sd * q.nv
+     OR (q.sd * r.nv = r.sd * q.nv AND q.t < r.t))),
+allrm AS ({rm_union})
+SELECT id, removed_round::BIGINT AS removed_round,
+       (removed_round >= (SELECT t FROM best))::INT AS in_densest
+FROM allrm
+"""
+
+
+QUERIES["densest_peel"] = q_densest_peel
+ORACLES["densest_peel"] = _sql_densest(DS_ROUNDS, DS_EPS_NUM, DS_EPS_DEN)
