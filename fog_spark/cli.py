@@ -148,6 +148,14 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
         from fog_spark.algorithms.coreness import coreness
 
         return coreness(edges, vertices=vertices, ctx=ctx)
+    if args.app == "mis":
+        from fog_spark.algorithms.mis import maximal_independent_set
+
+        return maximal_independent_set(edges, salt=args.seed, ctx=ctx)
+    if args.app == "katz":
+        from fog_spark.algorithms.katz import katz
+
+        return katz(edges, alpha=args.alpha, niters=args.niters, ctx=ctx)
     if args.app == "ktruss":
         from fog_spark.algorithms.ktruss import k_truss
 
@@ -240,12 +248,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--app", "-a", required=True,
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
-                 "msf", "louvain", "betweenness", "ktruss", "coreness", "tfidf", "asof", "dedup"],
+                 "msf", "louvain", "betweenness", "ktruss", "coreness", "mis", "katz",
+                 "tfidf", "asof", "dedup"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
     p.add_argument("--max-iters", type=int, default=10_000)
     p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--alpha", type=float, default=0.1, help="katz attenuation factor")
     p.add_argument("--root", "-r", type=int, default=0, help="bfs/sssp root (options_utils.h:45-46)")
     p.add_argument("--k", type=int, default=3, help="kcore: minimum surviving degree; ktruss: truss order")
     p.add_argument("--length", type=int, default=4, help="walks/node2vec: steps per walk")

@@ -3130,3 +3130,107 @@ FROM allrm
 
 QUERIES["densest_peel"] = q_densest_peel
 ORACLES["densest_peel"] = _sql_densest(DS_ROUNDS, DS_EPS_NUM, DS_EPS_DEN)
+
+
+# ---------------------------------------------------------------------------
+# round 5: Luby MIS (deterministic priorities) and Katz centrality
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 3
+MIS_SALT = 5
+
+
+def q_mis_r3(spark, sf_dir):
+    """Luby MIS (algorithms/mis.py) on the part co-occurrence graph,
+    3 fixed rounds, salt-5 md5 priorities. Output (id, in_mis, round):
+    winners carry their Luby round, their removed neighbors the same
+    round with in_mis=0, survivors round 4. Priorities are md5 strings
+    suffixed with the id, so the oracle replays every winner set."""
+    from fog_spark.algorithms.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        cooccur_edges(spark, sf_dir), salt=MIS_SALT, max_rounds=MIS_ROUNDS
+    )
+
+
+def _sql_mis(rounds: int, salt: int) -> str:
+    pri = f"md5('mis{salt}:' || id::VARCHAR) || '-' || lpad(id::VARCHAR, 12, '0')"
+    parts = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"nm{t} AS MATERIALIZED (SELECT e.dst AS id, min(a.pri) AS nmin\n"
+            f"  FROM sedges e JOIN alive{t} a ON a.id = e.src\n"
+            f"  JOIN alive{t} b ON b.id = e.dst GROUP BY e.dst)"
+        )
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT a.id FROM alive{t} a\n"
+            f"  LEFT JOIN nm{t} n ON n.id = a.id\n"
+            f"  WHERE n.nmin IS NULL OR a.pri < n.nmin)"
+        )
+        parts.append(
+            f"del{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS id\n"
+            f"  FROM sedges e JOIN win{t} w ON w.id = e.src\n"
+            f"  JOIN alive{t} b ON b.id = e.dst\n"
+            f"  WHERE e.dst NOT IN (SELECT id FROM win{t}))"
+        )
+        parts.append(
+            f"alive{t + 1} AS MATERIALIZED (SELECT a.id, a.pri FROM alive{t} a\n"
+            f"  WHERE a.id NOT IN (SELECT id FROM win{t})\n"
+            f"    AND a.id NOT IN (SELECT id FROM del{t}))"
+        )
+    out = " UNION ALL ".join(
+        [f"SELECT id, 1 AS in_mis, {t} AS round FROM win{t}" for t in range(1, rounds + 1)]
+        + [f"SELECT id, 0 AS in_mis, {t} AS round FROM del{t}" for t in range(1, rounds + 1)]
+        + [f"SELECT id, 0 AS in_mis, {rounds + 1} AS round FROM alive{rounds + 1}"]
+    )
+    return f"""
+WITH {EDGES_CTE},
+sedges AS MATERIALIZED (SELECT src, dst FROM edges),
+alive1 AS MATERIALIZED (
+  SELECT id, {pri} AS pri FROM (
+    SELECT DISTINCT src AS id FROM sedges UNION SELECT dst FROM sedges)),
+{','.join(parts)}
+SELECT id, in_mis, round FROM ({out})
+"""
+
+
+QUERIES["mis_r3"] = q_mis_r3
+ORACLES["mis_r3"] = _sql_mis(MIS_ROUNDS, MIS_SALT)
+
+
+KATZ_ALPHA_NUM, KATZ_ALPHA_DEN = 1, 10  # alpha = 0.1
+KATZ_ITERS = 5
+
+
+def q_katz_k5(spark, sf_dir):
+    """Katz centrality (algorithms/katz.py), 5 power-iteration rounds
+    at alpha=0.1, beta=1, on the part co-occurrence graph."""
+    from fog_spark.algorithms.katz import katz
+
+    return katz(
+        cooccur_edges(spark, sf_dir), alpha=0.1, beta=1.0, niters=KATZ_ITERS
+    ).select("id", F.round("katz", 4).alias("katz_r"))
+
+
+def _sql_katz(iters: int) -> str:
+    parts = ["x1 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS katz FROM verts)"]
+    for k in range(1, iters):
+        parts.append(
+            f"x{k + 1} AS MATERIALIZED (SELECT v.id,\n"
+            f"  0.1 * coalesce(s.m, 0) + 1.0 AS katz\n"
+            f"  FROM verts v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(x.katz) AS m\n"
+            f"    FROM sedges e JOIN x{k} x ON x.id = e.src GROUP BY e.dst\n"
+            f"  ) s ON s.id = v.id)"
+        )
+    return f"""
+WITH {EDGES_CTE},
+sedges AS MATERIALIZED (SELECT src, dst FROM edges),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sedges UNION SELECT dst FROM sedges),
+{','.join(parts)}
+SELECT id, round(katz, 4) AS katz_r FROM x{iters}
+"""
+
+
+QUERIES["katz_k5"] = q_katz_k5
+ORACLES["katz_k5"] = _sql_katz(KATZ_ITERS)

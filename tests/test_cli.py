@@ -274,3 +274,30 @@ def test_cli_coreness(spark, tmp_path):
     got = {r["id"]: r["coreness"] for r in spark.read.parquet(out).collect()}
     for v, c in want.items():
         assert got[v] == c, v
+
+
+def test_cli_mis_katz(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+
+    out = str(tmp_path / "mis")
+    rc = main(["--graph", path, "--app", "mis", "--out", out], spark=spark)
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    from tests.test_mis import py_mis
+
+    E = [(int(s), int(d)) for s, d in g.edges]
+    want = py_mis(E, salt=42)  # CLI passes --seed (default 42) as the salt
+    assert {r["id"]: (r["in_mis"], r["round"]) for r in rows} == want
+
+    out2 = str(tmp_path / "katz")
+    rc = main(["--graph", path, "--app", "katz", "--niters", "4", "--out", out2],
+              spark=spark)
+    assert rc == 0
+    from tests.test_katz import np_katz
+
+    n = max(max(a, b) for a, b in E) + 1
+    exp = np_katz(E, n, 0.1, 1.0, 4)
+    got = {r["id"]: r["katz"] for r in spark.read.parquet(out2).collect()}
+    for v in got:
+        assert abs(got[v] - exp[v]) < 1e-9
