@@ -3234,3 +3234,81 @@ SELECT id, round(katz, 4) AS katz_r FROM x{iters}
 
 QUERIES["katz_k5"] = q_katz_k5
 ORACLES["katz_k5"] = _sql_katz(KATZ_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: Jones-Plassmann greedy coloring
+# ---------------------------------------------------------------------------
+
+COLOR_ROUNDS = 3
+
+
+def q_coloring_r3(spark, sf_dir):
+    """Jones-Plassmann coloring (algorithms/coloring.py) on the part
+    co-occurrence graph, 3 fixed rounds, salt-5 priorities. Output
+    (id, color, round); uncolored survivors carry color -1, round 4.
+    Winner sets and the mex color choice replay exactly in SQL (the
+    oracle computes mex with a window: first sorted forbidden color
+    that differs from its 0-based rank)."""
+    from fog_spark.algorithms.coloring import greedy_coloring
+
+    return greedy_coloring(
+        cooccur_edges(spark, sf_dir), salt=MIS_SALT, max_rounds=COLOR_ROUNDS
+    )
+
+
+def _sql_coloring(rounds: int, salt: int) -> str:
+    pri = f"md5('mis{salt}:' || id::VARCHAR) || '-' || lpad(id::VARCHAR, 12, '0')"
+    parts = ["allcol0 AS (SELECT NULL::BIGINT AS id, NULL::INT AS color WHERE false)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"nm{t} AS MATERIALIZED (SELECT e.dst AS id, min(a.pri) AS nmin\n"
+            f"  FROM sedges e JOIN alive{t} a ON a.id = e.src\n"
+            f"  JOIN alive{t} b ON b.id = e.dst GROUP BY e.dst)"
+        )
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT a.id FROM alive{t} a\n"
+            f"  LEFT JOIN nm{t} n ON n.id = a.id\n"
+            f"  WHERE n.nmin IS NULL OR a.pri < n.nmin)"
+        )
+        parts.append(
+            f"forb{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS id, x.color\n"
+            f"  FROM sedges e JOIN win{t} w ON w.id = e.dst\n"
+            f"  JOIN allcol{t - 1} x ON x.id = e.src)"
+        )
+        parts.append(
+            f"mex{t} AS (SELECT id, coalesce(min(CASE WHEN color <> rn THEN rn END), max(cnt)) AS mex\n"
+            f"  FROM (SELECT id, color,\n"
+            f"        row_number() OVER (PARTITION BY id ORDER BY color) - 1 AS rn,\n"
+            f"        count(*) OVER (PARTITION BY id) AS cnt FROM forb{t})\n"
+            f"  GROUP BY id)"
+        )
+        parts.append(
+            f"wcol{t} AS MATERIALIZED (SELECT w.id, coalesce(m.mex, 0)::INT AS color\n"
+            f"  FROM win{t} w LEFT JOIN mex{t} m ON m.id = w.id)"
+        )
+        parts.append(
+            f"allcol{t} AS MATERIALIZED (SELECT id, color FROM allcol{t - 1}\n"
+            f"  UNION ALL SELECT id, color FROM wcol{t})"
+        )
+        parts.append(
+            f"alive{t + 1} AS MATERIALIZED (SELECT a.id, a.pri FROM alive{t} a\n"
+            f"  WHERE a.id NOT IN (SELECT id FROM win{t}))"
+        )
+    out = " UNION ALL ".join(
+        [f"SELECT id, color, {t} AS round FROM wcol{t}" for t in range(1, rounds + 1)]
+        + [f"SELECT id, -1 AS color, {rounds + 1} AS round FROM alive{rounds + 1}"]
+    )
+    return f"""
+WITH {EDGES_CTE},
+sedges AS MATERIALIZED (SELECT src, dst FROM edges),
+alive1 AS MATERIALIZED (
+  SELECT id, {pri} AS pri FROM (
+    SELECT DISTINCT src AS id FROM sedges UNION SELECT dst FROM sedges)),
+{','.join(parts)}
+SELECT id, color, round FROM ({out})
+"""
+
+
+QUERIES["coloring_r3"] = q_coloring_r3
+ORACLES["coloring_r3"] = _sql_coloring(COLOR_ROUNDS, MIS_SALT)
