@@ -3312,3 +3312,67 @@ SELECT id, color, round FROM ({out})
 
 QUERIES["coloring_r3"] = q_coloring_r3
 ORACLES["coloring_r3"] = _sql_coloring(COLOR_ROUNDS, MIS_SALT)
+
+
+# ---------------------------------------------------------------------------
+# round 5: deterministic stratified sampling over documents
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "zh": 0.9, "es": 0.8, "de": 0.25}  # fr -> default
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SALT = 7
+SAMPLE_TAKE_K = 25
+
+
+def q_docs_stratified(spark, sf_dir):
+    """Deterministic per-language downsampling of the documents table
+    (datapipe/sampling.py): keep-rate by stratum, verdict a pure
+    function of md5(salt:doc_id) — replayable bucket-for-bucket."""
+    from fog_spark.datapipe.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, SAMPLE_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT, salt=SAMPLE_SALT,
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {int(v * 1_000_000)}" for k, v in sorted(SAMPLE_RATES.items())
+) + f" ELSE {int(SAMPLE_DEFAULT * 1_000_000)} END"
+
+SQL_DOCS_STRATIFIED = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         {_hex_fold_sql(f"md5('smp{SAMPLE_SALT}:' || doc_id::VARCHAR)", 13)} % 1000000 AS bucket
+  FROM documents)
+WHERE bucket < {_SAMPLE_CASE}
+"""
+
+QUERIES["docs_stratified"] = q_docs_stratified
+ORACLES["docs_stratified"] = SQL_DOCS_STRATIFIED
+
+
+def q_docs_take25(spark, sf_dir):
+    """Exactly 25 docs per language by deterministic hash order
+    (datapipe/sampling.stratified_take) — the fixed-budget variant."""
+    from fog_spark.datapipe.sampling import stratified_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_take(
+        docs, SAMPLE_TAKE_K, strata_col="lang", key_col="doc_id", salt=SAMPLE_SALT
+    ).select("doc_id", "lang")
+
+
+SQL_DOCS_TAKE25 = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           {_hex_fold_sql(f"md5('smp{SAMPLE_SALT}:' || doc_id::VARCHAR)", 13)} % 1000000,
+           doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_TAKE_K}
+"""
+
+QUERIES["docs_take25"] = q_docs_take25
+ORACLES["docs_take25"] = SQL_DOCS_TAKE25
