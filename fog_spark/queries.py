@@ -3376,3 +3376,61 @@ WHERE rn <= {SAMPLE_TAKE_K}
 
 QUERIES["docs_take25"] = q_docs_take25
 ORACLES["docs_take25"] = SQL_DOCS_TAKE25
+
+
+# ---------------------------------------------------------------------------
+# round 5: greedy maximal matching
+# ---------------------------------------------------------------------------
+
+MATCH_ROUNDS = 3
+
+
+def q_matching_r3(spark, sf_dir):
+    """Greedy matching (algorithms/matching.py) on the part
+    co-occurrence graph: 3 fixed rounds of local-minimum edge
+    priorities; output (a, b, round) matched pairs."""
+    from fog_spark.algorithms.matching import greedy_matching
+
+    return greedy_matching(
+        cooccur_edges(spark, sf_dir), salt=MIS_SALT, max_rounds=MATCH_ROUNDS
+    )
+
+
+def _sql_matching(rounds: int, salt: int) -> str:
+    pri = (f"md5('mat{salt}:' || a::VARCHAR || '~' || b::VARCHAR) || '-' || "
+           f"lpad(a::VARCHAR, 12, '0') || '~' || lpad(b::VARCHAR, 12, '0')")
+    parts = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"vm{t} AS MATERIALIZED (SELECT id, min(pri) AS vmin FROM (\n"
+            f"  SELECT a AS id, pri FROM alive{t}\n"
+            f"  UNION ALL SELECT b AS id, pri FROM alive{t}) GROUP BY id)"
+        )
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT e.a, e.b FROM alive{t} e\n"
+            f"  JOIN vm{t} x ON x.id = e.a JOIN vm{t} y ON y.id = e.b\n"
+            f"  WHERE e.pri = x.vmin AND e.pri = y.vmin)"
+        )
+        parts.append(
+            f"mid{t} AS (SELECT a AS id FROM win{t} UNION SELECT b FROM win{t})"
+        )
+        parts.append(
+            f"alive{t + 1} AS MATERIALIZED (SELECT e.a, e.b, e.pri FROM alive{t} e\n"
+            f"  WHERE e.a NOT IN (SELECT id FROM mid{t})\n"
+            f"    AND e.b NOT IN (SELECT id FROM mid{t}))"
+        )
+    out = " UNION ALL ".join(
+        f"SELECT a, b, {t} AS round FROM win{t}" for t in range(1, rounds + 1)
+    )
+    return f"""
+WITH {EDGES_CTE},
+alive1 AS MATERIALIZED (
+  SELECT a, b, {pri} AS pri FROM (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)),
+{','.join(parts)}
+SELECT a, b, round FROM ({out})
+"""
+
+
+QUERIES["matching_r3"] = q_matching_r3
+ORACLES["matching_r3"] = _sql_matching(MATCH_ROUNDS, MIS_SALT)
