@@ -366,3 +366,29 @@ def msf_kruskal(edges: np.ndarray, weights: np.ndarray) -> set[tuple[int, int, f
             parent[ra] = rb
             out.add((a, b, w))
     return out
+
+
+def topo_levels(edges: np.ndarray, n: int) -> dict[int, tuple[int, int]]:
+    """{id: (component, level)} — SCC condensation + longest-path layer.
+
+    level(c) = longest path (in super-edges) ending at c in the
+    condensation DAG; vertices restricted to those appearing in any
+    edge (the Spark engine's vertex universe)."""
+    comp = scc(edges, n)
+    verts = sorted({int(v) for e in edges for v in e}) if len(edges) else []
+    cedges = sorted(
+        {
+            (int(comp[s]), int(comp[t]))
+            for s, t in edges
+            if s != t and comp[s] != comp[t]
+        }
+    )
+    level = {int(comp[v]): 0 for v in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in cedges:
+            if level[a] + 1 > level[b]:
+                level[b] = level[a] + 1
+                changed = True
+    return {v: (int(comp[v]), level[int(comp[v])]) for v in verts}

@@ -3434,3 +3434,53 @@ SELECT a, b, round FROM ({out})
 
 QUERIES["matching_r3"] = q_matching_r3
 ORACLES["matching_r3"] = _sql_matching(MATCH_ROUNDS, MIS_SALT)
+
+
+# ---------------------------------------------------------------------------
+# round 5: condensation DAG + topological build levels
+# ---------------------------------------------------------------------------
+
+
+def q_topo_levels(spark, sf_dir):
+    """Build-order layering of the order-chain directed graph
+    (algorithms/dag.py): SCC condensation + longest-path levels, run to
+    the fixed point. The oracle computes the same fixed point directly —
+    SCC by mutual recursive reachability, then levels as max path
+    length ending at each super-vertex (paths recursion is finite
+    because the condensation is acyclic)."""
+    from fog_spark.algorithms.dag import topo_levels
+
+    return topo_levels(directed_edges(spark, sf_dir, mod=SCC_CONV_MOD))
+
+
+SQL_TOPO_LEVELS = f"""
+WITH RECURSIVE {_dedges_cte(SCC_CONV_MOD)},
+dverts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+reach AS (
+  SELECT id AS u, id AS v FROM dverts
+  UNION
+  SELECT r.u, e.dst AS v FROM reach r JOIN dedges e ON e.src = r.v
+),
+comp AS MATERIALIZED (
+  SELECT f.v AS id, min(f.u) AS component
+  FROM reach f
+  WHERE EXISTS (SELECT 1 FROM reach b WHERE b.u = f.v AND b.v = f.u)
+  GROUP BY f.v
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT cs.component AS s, cd.component AS d
+  FROM dedges e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst
+  WHERE cs.component <> cd.component
+),
+paths AS (
+  SELECT component AS c, 0 AS lvl FROM (SELECT DISTINCT component FROM comp)
+  UNION
+  SELECT e.d, p.lvl + 1 FROM paths p JOIN cedges e ON e.s = p.c
+),
+lvl AS (SELECT c, max(lvl) AS level FROM paths GROUP BY c)
+SELECT v.id, v.component, l.level::BIGINT AS level
+FROM comp v JOIN lvl l ON l.c = v.component
+"""
+
+QUERIES["topo_levels"] = q_topo_levels
+ORACLES["topo_levels"] = SQL_TOPO_LEVELS
