@@ -103,18 +103,51 @@ def louvain_local_move(
     simultaneously (Jaccard-of-neighbors oscillation is possible but
     deterministic; fixed ``rounds`` is the contract, like LPA).
     """
-    deg = materialize(_degrees(edges))
-    m2 = edges.count()
+    return louvain_local_move_weighted(
+        edges.select("src", "dst", F.lit(1).cast("long").alias("w")),
+        rounds=rounds,
+        ctx=ctx,
+    )
+
+
+def louvain_local_move_weighted(
+    edges: DataFrame, rounds: int = 1, ctx=None, alternate: bool = False
+) -> DataFrame:
+    """The move loop over a WEIGHTED symmetric multigraph (src, dst, w
+    long), self-loops allowed — the form a contracted super-graph takes
+    (self-loop weight = 2x intra-community edges of the level below).
+
+    Same integer gain as the unweighted form with every count replaced
+    by a weight sum; a vertex's self-loop weight rides along when it
+    moves, contributing equally to every candidate, so it is excluded
+    from k2 and the argmax is unchanged — the standard Louvain
+    phase-2 treatment (Blondel et al. 2008, §2).
+
+    ``alternate=True`` restricts candidate communities to labels <= the
+    vertex's current label on odd rounds and >= on even rounds (own
+    community always allowed). Two symmetric vertices that each prefer
+    the other's community would otherwise SWAP labels every synchronous
+    round and never merge; under the alternating restriction only one
+    side may move, so the pair merges — the deterministic
+    oscillation-breaker used by distributed Louvain implementations
+    (e.g. Sotera's Spark/Giraph DGA). Any move legal for the
+    unrestricted rule is legal in one of two consecutive rounds.
+    """
+    deg = materialize(
+        edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    )
+    m2 = edges.agg(F.sum("w")).collect()[0][0]
     state = deg.select("id", F.col("id").alias("label"))
 
     for r in range(1, rounds + 1):
         dc = state.join(deg, "id").groupBy("label").agg(F.sum("k").alias("dc"))
         lab_dst = state.select(F.col("id").alias("dst"), F.col("label").alias("c"))
-        # k2(v, c): directed edge count from v into community c
+        # k2(v, c): weighted edges from v into community c, self excluded
         k2 = (
-            edges.join(lab_dst, "dst")
+            edges.where(F.col("src") != F.col("dst"))
+            .join(lab_dst, "dst")
             .groupBy(F.col("src").alias("id"), "c")
-            .agg(F.count(F.lit(1)).alias("k2"))
+            .agg(F.sum("w").alias("k2"))
         )
         # candidate set = neighbor communities ∪ the current community
         # (k2=0 when v has no neighbor inside its own community)
@@ -129,7 +162,16 @@ def louvain_local_move(
             cand.join(maybe_broadcast(dc.select(F.col("label").alias("c"), "dc"), m2), "c")
             .join(deg, "id")
             .join(state, "id")
-            .select(
+        )
+        if alternate:
+            gate = (
+                (F.col("c") <= F.col("label"))
+                if r % 2 == 1
+                else (F.col("c") >= F.col("label"))
+            )
+            scored = scored.where(gate | (F.col("c") == F.col("label")))
+        scored = (
+            scored.select(
                 "id",
                 "c",
                 (
@@ -146,3 +188,54 @@ def louvain_local_move(
         )
         state = materialize(state, ctx, r)
     return state.select("id", "label")
+
+
+def contract_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Louvain phase 2: collapse each community to a super-vertex.
+
+    ``edges``: weighted symmetric (src, dst, w); ``labels``: (id,
+    label). Returns (src, dst, w) over community ids — the (c, c)
+    self-loop row accumulates BOTH orientations of every intra edge,
+    i.e. w = 2x the undirected intra count, exactly the self-loop
+    weight phase 2 requires. One join pair + one keyed aggregation.
+    """
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    return (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .groupBy(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def louvain_levels(
+    edges: DataFrame, move_rounds: int = 2, levels: int = 2, ctx=None
+) -> DataFrame:
+    """Full Louvain: local-move rounds, contract, repeat ``levels``
+    times; (id, label) maps every ORIGINAL vertex to its top-level
+    community. Deterministic end to end (each move round is the
+    synchronous argmax above, with ``alternate=True`` breaking
+    label-swap oscillation), so a chained SQL oracle replays the whole
+    hierarchy. ``edges``: simple symmetric (src, dst[, ...]).
+
+    Scale shape: each level's graph is no larger than the previous
+    (contraction only merges), so cost is dominated by level 1 —
+    move_rounds x (two keyed joins + two aggs) over |E|, plus one
+    contraction agg per level.
+    """
+    cur = edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    total = None
+    for lvl in range(1, levels + 1):
+        lab = louvain_local_move_weighted(
+            cur, rounds=move_rounds, ctx=ctx, alternate=True
+        )
+        if total is None:
+            total = lab
+        else:
+            up = lab.select(F.col("id").alias("label"), F.col("label").alias("l2"))
+            total = total.join(up, "label").select("id", F.col("l2").alias("label"))
+        total = materialize(total)
+        if lvl < levels:
+            cur = materialize(contract_graph(cur, lab))
+    return total

@@ -3484,3 +3484,76 @@ FROM comp v JOIN lvl l ON l.c = v.component
 
 QUERIES["topo_levels"] = q_topo_levels
 ORACLES["topo_levels"] = SQL_TOPO_LEVELS
+
+
+# ---------------------------------------------------------------------------
+# round 5: full Louvain (local moves + contraction), two levels
+# ---------------------------------------------------------------------------
+
+LOUVAIN_L_ROUNDS = 2  # move rounds per level
+
+
+def q_louvain_contract(spark, sf_dir):
+    """Two-level Louvain (community.louvain_levels): 2 alternating-gate
+    move rounds, contract communities to super-vertices (self-loop =
+    2x intra), 2 more rounds on the contracted graph, compose. The
+    oracle chains the identical weighted dynamics: candidate labels are
+    gated <= own on odd rounds / >= own on even rounds (the
+    deterministic swap-breaker), so every round replays exactly."""
+    from fog_spark.algorithms.community import louvain_levels
+
+    edges = cooccur_edges(spark, sf_dir).select("src", "dst")
+    return louvain_levels(edges, move_rounds=LOUVAIN_L_ROUNDS, levels=2)
+
+
+def _sql_louvain_w(e: str, p: str, rounds: int) -> list[str]:
+    """Weighted alternating-gate move rounds over edge CTE ``e`` (src,
+    dst, w); result labeling CTE: s{p}{rounds}."""
+    ctes = [
+        f"deg{p} AS MATERIALIZED (SELECT src AS id, sum(w)::BIGINT AS k "
+        f"FROM {e} GROUP BY src)",
+        f"m{p} AS (SELECT sum(w)::BIGINT AS m2 FROM {e})",
+        f"s{p}0 AS MATERIALIZED (SELECT id, id AS label FROM deg{p})",
+    ]
+    for i in range(1, rounds + 1):
+        pr = i - 1
+        gate = "<=" if i % 2 == 1 else ">="
+        ctes += [
+            f"dc{p}{i} AS MATERIALIZED (SELECT s.label, sum(d.k)::BIGINT AS dc "
+            f"FROM s{p}{pr} s JOIN deg{p} d ON s.id = d.id GROUP BY s.label)",
+            f"k2{p}{i} AS MATERIALIZED (SELECT e.src AS id, l.label AS c, "
+            f"sum(e.w)::BIGINT AS k2 FROM {e} e JOIN s{p}{pr} l ON e.dst = l.id "
+            f"WHERE e.src <> e.dst GROUP BY e.src, l.label)",
+            f"cand{p}{i} AS (SELECT id, c, max(k2) AS k2 FROM ("
+            f"SELECT id, c, k2 FROM k2{p}{i} "
+            f"UNION ALL SELECT id, label AS c, 0::BIGINT FROM s{p}{pr}) GROUP BY id, c)",
+            f"sc{p}{i} AS MATERIALIZED (SELECT t.id, t.c, "
+            f"(m.m2 * t.k2 - d.k * (dc.dc - CASE WHEN t.c = s.label THEN d.k ELSE 0 END)) AS gain2 "
+            f"FROM cand{p}{i} t JOIN dc{p}{i} dc ON t.c = dc.label "
+            f"JOIN deg{p} d ON t.id = d.id JOIN s{p}{pr} s ON t.id = s.id, m{p} m "
+            f"WHERE t.c = s.label OR t.c {gate} s.label)",
+            f"s{p}{i} AS MATERIALIZED (SELECT id, c AS label FROM ("
+            f"SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY gain2 DESC, c ASC) AS rn "
+            f"FROM sc{p}{i}) WHERE rn = 1)",
+        ]
+    return ctes
+
+
+def _sql_louvain_contract(rounds: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "wa AS (SELECT src, dst, 1::BIGINT AS w FROM edges)",
+        *_sql_louvain_w("wa", "a", rounds),
+        f"e2 AS MATERIALIZED (SELECT x.label AS src, y.label AS dst, "
+        f"sum(e.w)::BIGINT AS w FROM wa e JOIN sa{rounds} x ON e.src = x.id "
+        f"JOIN sa{rounds} y ON e.dst = y.id GROUP BY x.label, y.label)",
+        *_sql_louvain_w("e2", "b", rounds),
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.id, b.label FROM sa{rounds} a JOIN sb{rounds} b ON a.label = b.id"
+    )
+
+
+QUERIES["louvain_contract"] = q_louvain_contract
+ORACLES["louvain_contract"] = _sql_louvain_contract(LOUVAIN_L_ROUNDS)
