@@ -313,3 +313,59 @@ def dedup_corpus(
     return clusters.join(sizes, "cluster_id").select(
         id_col, "cluster_id", "is_canonical", "n_members"
     )
+
+
+def span_dedup_stats(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style span-level exact dedup signal: chop each document into
+    NON-OVERLAPPING k-token windows (full windows only), hash each
+    span's text, and count how many of a document's spans occur more
+    than once ANYWHERE in the corpus.
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_frac): dup_frac is the
+    document's share of corpus-duplicated spans (round 6; 0.0 for docs
+    shorter than k tokens). The C4 pipeline (Raffel et al. 2020, §2.2)
+    removes three-sentence spans occurring more than once; with no
+    sentence structure in the corpus this uses fixed token windows —
+    the same two-shuffle plan: one groupBy(span hash) count over the
+    whole corpus, one keyed join back to (doc, span).
+    """
+    arr = F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
+    base = docs.select(F.col(id_col).alias("id"), arr.alias("ts"))
+    spans_arr = F.when(
+        F.size("ts") >= k,
+        F.transform(
+            F.sequence(F.lit(0), (F.size("ts") / k).cast("int") - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("ts", i * k + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # positional explode: the SAME span text twice in one doc counts twice
+    spans = base.select("id", F.posexplode(spans_arr).alias("pos", "h"))
+
+    global_ct = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = (
+        spans.join(global_ct, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -182,3 +182,87 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("id", F.col("t").alias("term"), "tf", "df", "tfidf", "rank")
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_token_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+    dup_trigram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1.2),
+    word-level: (id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_trigram_frac, flagged).
+
+    - top_token_frac:   occurrences of the most frequent token / n_tokens
+    - top_bigram_frac:  occurrences of the most frequent word 2-gram /
+                        total 2-gram occurrences (0 when < 2 tokens)
+    - dup_trigram_frac: fraction of word 3-gram occurrences that are
+                        repeats of an earlier one, i.e.
+                        (total - distinct) / total (0 when < 3 tokens)
+
+    flagged = any fraction above its threshold — the repetition arm of
+    the Gopher quality gate (quality_scores covers the length/stopword
+    arm). Three keyed aggregations joined on doc id, each with map-side
+    partial aggregation; only max/count scalars leave the executors.
+    """
+    tk = tokens(docs, id_col, text_col)
+    tok = (
+        tk.groupBy("id", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok"))
+    )
+
+    ts = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0)
+    base = docs.select(F.col(id_col).alias("id"), ts.alias("ts"))
+
+    def _grams(n: int):
+        return F.when(
+            F.size("ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("ts", i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    big = (
+        base.select("id", F.explode(_grams(2)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_big"), F.max("c").alias("top_big"))
+    )
+    tri = (
+        base.select("id", F.explode(_grams(3)).alias("g"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"), F.countDistinct("g").alias("u_tri"))
+    )
+
+    top_token_frac = F.round(F.col("top_tok") / F.col("n_tokens"), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("top_big") / F.col("n_big"), F.lit(0.0)), 6
+    )
+    dup_trigram_frac = F.round(
+        F.coalesce((F.col("n_tri") - F.col("u_tri")) / F.col("n_tri"), F.lit(0.0)), 6
+    )
+    return (
+        tok.join(big, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            top_token_frac.alias("top_token_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_trigram_frac.alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("top_token_frac") > top_token_max)
+            | (F.col("top_bigram_frac") > top_bigram_max)
+            | (F.col("dup_trigram_frac") > dup_trigram_max),
+        )
+    )

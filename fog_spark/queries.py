@@ -3557,3 +3557,139 @@ def _sql_louvain_contract(rounds: int) -> str:
 
 QUERIES["louvain_contract"] = q_louvain_contract
 ORACLES["louvain_contract"] = _sql_louvain_contract(LOUVAIN_L_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_MOD = 37     # doc_id % mod == 0 -> the held-out "benchmark" set
+DECONTAM_THRESHOLD = 0.2
+
+
+def q_decontam(spark, sf_dir):
+    """Training-side decontamination (datapipe/decontam.py): flag
+    corpus documents whose distinct word-trigram shingles overlap the
+    deterministic benchmark split (doc_id % 37 == 0) at >= 20%.
+    Benchmark shingles are distinct-reduced then BROADCAST — the
+    eval-suite-vs-corpus asymmetry the 100 TB plan relies on."""
+    from fog_spark.datapipe.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % DECONTAM_MOD != 0)
+    bench = docs.where(F.col("doc_id") % DECONTAM_MOD == 0)
+    return decontaminate(train, bench, n=3, threshold=DECONTAM_THRESHOLD)
+
+
+SQL_DECONTAM = f"""
+WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                                    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+       FROM arrs),
+bsh AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+agg AS (
+  SELECT t.doc_id, count(*) AS n_unique_shingles, count(b.g) AS n_contaminated
+  FROM (SELECT doc_id, g FROM sh WHERE doc_id % {DECONTAM_MOD} <> 0) t
+  LEFT JOIN bsh b ON t.g = b.g
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_unique_shingles, 0) AS n_unique_shingles,
+       coalesce(a.n_contaminated, 0) AS n_contaminated,
+       round(CASE WHEN coalesce(a.n_unique_shingles, 0) > 0
+                  THEN a.n_contaminated / a.n_unique_shingles ELSE 0.0 END, 6)
+         AS contamination_r,
+       round(CASE WHEN coalesce(a.n_unique_shingles, 0) > 0
+                  THEN a.n_contaminated / a.n_unique_shingles ELSE 0.0 END, 6)
+         >= {DECONTAM_THRESHOLD} AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+QUERIES["decontam"] = q_decontam
+ORACLES["decontam"] = SQL_DECONTAM
+
+
+# ---------------------------------------------------------------------------
+# round 5: Gopher-style repetition quality rules
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Word-level repetition fractions per document (datapipe/text.
+    repetition_scores): most-frequent-token share, most-frequent-bigram
+    share, duplicate-trigram share, with the Gopher-style OR-gate flag
+    (Rae et al. 2021 §A1.1.2). Complements doc_quality's length/
+    stopword arm."""
+    from fog_spark.datapipe.text import repetition_scores
+
+    return repetition_scores(load(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+tokc AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS t FROM arrs) GROUP BY doc_id, t),
+tok AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_tok FROM tokc GROUP BY doc_id),
+bigc AS (SELECT doc_id, g, count(*) AS c FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                                       i -> ts[i] || ' ' || ts[i+1])) AS g
+  FROM arrs) GROUP BY doc_id, g),
+big AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_big FROM bigc GROUP BY doc_id),
+tri AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS u_tri FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM arrs) GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       round(t.top_tok / t.n_tokens, 6) AS top_token_frac,
+       round(coalesce(b.top_big / b.n_big, 0.0), 6) AS top_bigram_frac,
+       round(coalesce((r.n_tri - r.u_tri) / r.n_tri, 0.0), 6) AS dup_trigram_frac,
+       (round(t.top_tok / t.n_tokens, 6) > 0.2
+        OR round(coalesce(b.top_big / b.n_big, 0.0), 6) > 0.18
+        OR round(coalesce((r.n_tri - r.u_tri) / r.n_tri, 0.0), 6) > 0.3) AS flagged
+FROM tok t LEFT JOIN big b ON b.doc_id = t.doc_id LEFT JOIN tri r ON r.doc_id = t.doc_id
+"""
+
+QUERIES["doc_repetition"] = q_doc_repetition
+ORACLES["doc_repetition"] = SQL_DOC_REPETITION
+
+
+# ---------------------------------------------------------------------------
+# round 5: C4-style span-level exact dedup signal
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8
+
+
+def q_span_dedup(spark, sf_dir):
+    """Per-document duplicated-span fraction (datapipe/dedup.
+    span_dedup_stats): non-overlapping 8-token windows, md5 span
+    hashes, corpus-global occurrence counts — C4's repeated-span
+    removal signal (Raffel et al. 2020 §2.2) re-expressed as two keyed
+    shuffles."""
+    from fog_spark.datapipe.dedup import span_dedup_stats
+
+    return span_dedup_stats(load(spark, sf_dir, "documents"), k=SPAN_K)
+
+
+SQL_SPAN_DEDUP = f"""
+WITH arrs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+sp AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ts) // {SPAN_K}),
+                     i -> md5(array_to_string(ts[(i-1)*{SPAN_K}+1 : i*{SPAN_K}], ' ')))) AS h
+       FROM arrs),
+gct AS (SELECT h, count(*) AS n FROM sp GROUP BY h),
+agg AS (SELECT s.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+        FROM sp s JOIN gct g ON g.h = s.h GROUP BY s.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       round(CASE WHEN coalesce(a.n_spans, 0) > 0
+                  THEN a.n_dup_spans / a.n_spans ELSE 0.0 END, 6) AS dup_frac
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+QUERIES["span_dedup"] = q_span_dedup
+ORACLES["span_dedup"] = SQL_SPAN_DEDUP
