@@ -283,3 +283,65 @@ def embedding_near_dups(
     return pairs.select(
         "a_id", "b_id", (_dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))).alias("cos")
     ).where(F.col("cos") >= threshold)
+
+
+def basket_cosine_topk(
+    pairs: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Item-item co-occurrence cosine, top-k neighbors per item:
+
+        cos(a, b) = n_ab / sqrt(n_a * n_b)
+
+    with n_x = #baskets containing x and n_ab = #baskets containing
+    both — the classic implicit-feedback item similarity (Deshpande &
+    Karypis 2004). Returns (a, b, n_ab, cos_r, rk), rk = 1..k ordered
+    by (cos_r desc, b) — cosine rounded to 6dp BEFORE ranking so the
+    order is replayable across engines.
+
+    Scale shape: pair generation is a within-basket self-join — work
+    sum(|basket|^2), the triangle-counting shape, NOT all-pairs across
+    the catalog. ``max_basket`` drops baskets above the cap first (a
+    10^6-item basket would alone emit 10^12 pairs; such baskets carry
+    ~zero similarity signal — same escape hatch as LSH's max_bucket).
+    Counts n_x are computed BEFORE the cap so cosine denominators stay
+    exact.
+    """
+    d = pairs.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    deg = d.groupBy(F.col("it").alias("a")).agg(F.count(F.lit(1)).alias("n_a"))
+    if max_basket is not None:
+        keep = (
+            d.groupBy("bk").agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") <= max_basket)
+            .select("bk")
+        )
+        d = d.join(keep, "bk", "left_semi")
+    lhs = d.select("bk", F.col("it").alias("a"))
+    rhs = d.select("bk", F.col("it").alias("b"))
+    co = (
+        lhs.join(rhs, "bk")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        co.join(deg, "a")
+        .join(deg.select(F.col("a").alias("b"), F.col("n_a").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos_r"), F.asc("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("a", "b", "n_ab", "cos_r", "rk")
+    )

@@ -126,3 +126,77 @@ def kmv_union_estimate(
         F.least(F.col("n_distinct"), F.lit(k)).alias("n_seen"),
         est.alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# estimates with one-sided (over-)error — the heavy-hitter companion to
+# KMV's distinct counts.
+# ---------------------------------------------------------------------------
+
+_CM_BITS = 13  # md5 hex chars folded; 52 bits >> any sane width
+
+
+def _cm_bucket(col, row: int, width: int, salt: int):
+    """Deterministic bucket of ``col`` in hash row ``row``: md5 prefix
+    fold mod width — replayable in DuckDB via the same digit fold."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cm{salt}:{row}:"), col.cast("string"))), 1, _CM_BITS),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame, col: str = "t", depth: int = 4, width: int = 512, salt: int = 1
+) -> DataFrame:
+    """(row, bucket, c): the depth x width counter matrix for the
+    multiset in ``df[col]``. One explode to depth rows per item + one
+    (row, bucket) aggregation — map-side combined, O(depth*width) rows
+    out regardless of input size, and mergeable by elementwise sum."""
+    keyed = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cm_bucket(F.col(col), r, width, salt).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("rb")
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return keyed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, depth: int = 4, width: int = 512,
+    salt: int = 1,
+) -> DataFrame:
+    """(item, est_c): min over hash rows of the item's bucket counter —
+    the classic one-sided estimate (est >= true always; equality when
+    no bucket collision). ``sketch`` is broadcast (depth*width rows)."""
+    probes = items.select(F.col(col).alias("item")).distinct()
+    probes = probes.select(
+        "item",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _cm_bucket(F.col("item"), r, width, salt).alias("bucket"))
+                for r in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_c"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise sum — sketch(A ⊎ B) == merge(sketch(A), sketch(B))."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -3693,3 +3693,95 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON a.doc_id = d.doc_id
 
 QUERIES["span_dedup"] = q_span_dedup
 ORACLES["span_dedup"] = SQL_SPAN_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# round 5: Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_SALT = 1
+CM_TOPK = 10
+
+
+def q_countmin_tokens(spark, sf_dir):
+    """Count-Min frequency estimates (datapipe/sketches.cm_sketch) for
+    the 10 most frequent corpus tokens: (t, true_c, est_c). est_c >=
+    true_c always (one-sided collision error); the oracle replays the
+    exact bucket hashing (md5 digit-fold mod width), so the sketch
+    content — not just the bound — must match."""
+    from fog_spark.datapipe.sketches import cm_estimate, cm_sketch
+
+    tk = doc_tokens(spark, sf_dir).select("t")
+    sk = cm_sketch(tk, "t", depth=CM_DEPTH, width=CM_WIDTH, salt=CM_SALT)
+    truec = tk.groupBy("t").agg(F.count(F.lit(1)).alias("true_c"))
+    top = truec.orderBy(F.desc("true_c"), F.asc("t")).limit(CM_TOPK)
+    est = cm_estimate(sk, top, "t", depth=CM_DEPTH, width=CM_WIDTH, salt=CM_SALT)
+    return top.join(est, top["t"] == est["item"]).select("t", "true_c", "est_c")
+
+
+_CM_BUCKET_SQL = lambda item: (
+    _hex_fold_sql(f"md5('cm{CM_SALT}:' || w.r::VARCHAR || ':' || {item})", 13)
+    + f" % {CM_WIDTH}"
+)
+
+SQL_COUNTMIN_TOKENS = f"""
+WITH {TOKENS_CTE},
+rws AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS r),
+truec AS (SELECT t, count(*)::BIGINT AS true_c FROM toks GROUP BY t),
+top AS MATERIALIZED (SELECT t, true_c FROM truec ORDER BY true_c DESC, t LIMIT {CM_TOPK}),
+tb AS (SELECT w.r, {_CM_BUCKET_SQL('x.t')} AS bucket FROM toks x CROSS JOIN rws w),
+sk AS MATERIALIZED (SELECT r, bucket, count(*)::BIGINT AS c FROM tb GROUP BY r, bucket),
+pe AS (SELECT p.t, p.true_c, w.r, {_CM_BUCKET_SQL('p.t')} AS bucket
+       FROM top p CROSS JOIN rws w)
+SELECT pe.t, pe.true_c, min(coalesce(s.c, 0)) AS est_c
+FROM pe LEFT JOIN sk s ON s.r = pe.r AND s.bucket = pe.bucket
+GROUP BY pe.t, pe.true_c
+"""
+
+QUERIES["countmin_tokens"] = q_countmin_tokens
+ORACLES["countmin_tokens"] = SQL_COUNTMIN_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# round 5: item-item co-occurrence cosine (basket similarity)
+# ---------------------------------------------------------------------------
+
+BCOS_K = 3
+BCOS_MAX_BASKET = 64  # inert at test scale; the 100 TB escape hatch
+
+
+def q_item_cosine(spark, sf_dir):
+    """Top-3 most-similar parts per part by order-co-occurrence cosine
+    (datapipe/similarity.basket_cosine_topk) over (l_orderkey,
+    l_partkey) baskets — the recommendation-flavored view of the same
+    bipartite source the co-occurrence link graph derives from."""
+    from fog_spark.datapipe.similarity import basket_cosine_topk
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_cosine_topk(
+        li, "l_orderkey", "l_partkey", k=BCOS_K, max_basket=BCOS_MAX_BASKET
+    )
+
+
+SQL_ITEM_COSINE = f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+deg AS (SELECT it AS a, count(*)::BIGINT AS n_a FROM d GROUP BY it),
+keep AS (SELECT bk FROM d GROUP BY bk HAVING count(*) <= {BCOS_MAX_BASKET}),
+dk AS (SELECT d.bk, d.it FROM d JOIN keep k ON k.bk = d.bk),
+co AS (SELECT x.it AS a, y.it AS b, count(*)::BIGINT AS n_ab
+       FROM dk x JOIN dk y ON x.bk = y.bk AND x.it <> y.it
+       GROUP BY x.it, y.it),
+sc AS (SELECT co.a, co.b, co.n_ab,
+              round(co.n_ab / sqrt(da.n_a * db.n_a), 6) AS cos_r
+       FROM co JOIN deg da ON da.a = co.a JOIN deg db ON db.a = co.b)
+SELECT a, b, n_ab, cos_r, rk FROM (
+  SELECT a, b, n_ab, cos_r,
+         row_number() OVER (PARTITION BY a ORDER BY cos_r DESC, b ASC) AS rk
+  FROM sc)
+WHERE rk <= {BCOS_K}
+"""
+
+QUERIES["item_cosine"] = q_item_cosine
+ORACLES["item_cosine"] = SQL_ITEM_COSINE
