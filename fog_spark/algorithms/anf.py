@@ -124,3 +124,64 @@ def neighborhood_function(
     sk = neighborhood_sketches(edges, radius, k=k, ctx=ctx)
     n_seen, est = estimate_from_sketch(k)
     return sk.select("id", n_seen, est)
+
+
+def anf_curve(edges: DataFrame, radius: int, k: int = 16) -> DataFrame:
+    """(r, n_micro, reaches90): the ANF curve N(r) = Σ_v est|B(v, r)|
+    for r = 0..radius, with the classic effective-diameter readout —
+    ``reaches90`` is true once N(r) >= 0.9 * N(radius), so the smallest
+    flagged r is the (estimated, radius-capped) effective diameter
+    (Palmer/Gibbons/Faloutsos ANF, KDD 2002 §2.2).
+
+    Cross-engine exactness: per-vertex estimates are micro-rounded
+    (round(est * 1e6) as int) before summing — integer sums are
+    order-independent, so Spark and an external replay agree exactly
+    where a double sum would drift with partition order; the 90%
+    threshold compares 10 * N(r) >= 9 * N(radius) in integers.
+
+    Plan shape: the same one-gather-one-agg superstep as
+    ``neighborhood_sketches``; each round's state is plan-cut
+    (localCheckpoint) so the final union of radius+1 one-row aggregates
+    re-executes nothing. At the 100 TB tier the curve is |radius|+1
+    rows — the per-round scans are the cost, identical to running the
+    sketch loop itself.
+    """
+    fwd = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = vertices_of(fwd).select(
+        "id", F.array(_kmv_hash(F.col("id"))).alias("hvs")
+    )
+    state = materialize(state, None, 0)
+    states = [(0, state)]
+    for r in range(1, radius + 1):
+        contrib = fwd.join(state, fwd["dst"] == state["id"]).select(
+            fwd["src"].alias("id"), "hvs"
+        )
+        merged = state.unionByName(contrib).groupBy("id").agg(
+            _merged_bottom_k(k).alias("hvs")
+        )
+        state = materialize(merged, None, r)
+        states.append((r, state))
+
+    _, est = estimate_from_sketch(k)
+    micro = F.round(F.col("estimate") * F.lit(1e6), 0).cast("long")
+    curve = None
+    for r, st in states:
+        row = (
+            st.select(est)
+            .agg(F.sum(micro).alias("n_micro"))
+            .select(F.lit(r).cast("int").alias("r"), "n_micro")
+        )
+        curve = row if curve is None else curve.unionByName(row)
+    final = curve.filter(F.col("r") == radius).select(
+        F.col("n_micro").alias("final_micro")
+    )
+    return curve.crossJoin(F.broadcast(final)).select(
+        "r",
+        "n_micro",
+        (F.col("n_micro") * 10 >= F.col("final_micro") * 9).alias("reaches90"),
+    )

@@ -115,3 +115,28 @@ def greedy_matching(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def vertex_cover(
+    edges: DataFrame,
+    salt: int = 5,
+    max_rounds: int | None = None,
+    ctx=None,
+) -> DataFrame:
+    """(id): 2-approximate minimum vertex cover — the endpoint set of a
+    maximal matching (Gavril / Yannakakis; Vazirani, Approximation
+    Algorithms §1.1). Every edge is incident to a matched vertex
+    (maximality), and |cover| = 2|M| <= 2 OPT because any cover needs
+    one endpoint per matched edge.
+
+    Run to convergence (``max_rounds=None``) for the guarantee; a
+    fixed-round run returns the cover of the partial matching (the
+    SQL-replayable form). Adds one distinct over 2|M| rows on top of
+    the matching rounds.
+    """
+    m = greedy_matching(edges, salt=salt, max_rounds=max_rounds, ctx=ctx)
+    return (
+        m.select(F.col("a").alias("id"))
+        .unionByName(m.select(F.col("b").alias("id")))
+        .distinct()
+    )

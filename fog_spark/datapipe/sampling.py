@@ -51,6 +51,50 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def mix_weights(
+    df: DataFrame,
+    strata_col: str = "lang",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """(stratum, n, rate_r, expected_r): per-stratum keep-rates that
+    rebalance the corpus toward a target mixture — the knob a training
+    run turns to fix language/source imbalance (e.g. the Pile §2.2 /
+    ROOTS §3 mixture tables). ``target`` maps stratum -> desired share
+    (shares for listed strata; default: uniform over observed strata).
+
+    rate(s) = min(1, share(s) * total / n(s)) — downsample-only (no
+    duplication); feed the rates straight into ``stratified_sample``
+    for the deterministic hash filter. expected_r = rate * n is the
+    resulting stratum size before rounding.
+
+    Scale shape: one groupBy over the corpus + one broadcast of the
+    one-row totals frame onto the per-stratum counts — the output is
+    |strata| rows, driver-scale by construction.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_strata")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    if target is None:
+        share = F.lit(1.0) / F.col("n_strata")
+    else:
+        share = F.lit(0.0)
+        for k, v in sorted(target.items()):
+            share = F.when(
+                F.col("stratum") == F.lit(k), F.lit(float(v))
+            ).otherwise(share)
+    rate = F.least(F.lit(1.0), (share * F.col("total")) / F.col("n"))
+    return j.select(
+        "stratum",
+        "n",
+        F.round(rate, 6).alias("rate_r"),
+        F.round(rate * F.col("n"), 6).alias("expected_r"),
+    )
+
+
 def stratified_take(
     df: DataFrame,
     k: int,

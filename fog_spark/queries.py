@@ -3785,3 +3785,177 @@ WHERE rk <= {BCOS_K}
 
 QUERIES["item_cosine"] = q_item_cosine
 ORACLES["item_cosine"] = SQL_ITEM_COSINE
+
+
+# ---------------------------------------------------------------------------
+# round 5: PII scrubbing (emails / IPv4 / phones masked + counted)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII masking pass (datapipe/pii.py) over the documents table,
+    deterministically enriched with one planted email / phone / IPv4
+    per document (the synthetic corpus carries none, so the fixtures
+    would otherwise exercise only the pass-through path). Counts,
+    masked length and the masked-text sha256 are all engine-exact —
+    the patterns live in the Java==RE2 regex subset."""
+    from fog_spark.datapipe.pii import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact doc"), did.cast("string"),
+            F.lit("@ex"), (did % 7).cast("string"),
+            F.lit(".org call +1 202-555-01"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit(" from 10."), (did % 64).cast("string"),
+            F.lit(".0."), (did % 250).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(enriched).withColumnRenamed("id", "doc_id")
+
+
+def _sql_pii() -> str:
+    from fog_spark.datapipe.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return f"""
+WITH enr AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact doc' || doc_id::VARCHAR || '@ex'
+           || (doc_id % 7)::VARCHAR || '.org call +1 202-555-01'
+           || lpad((doc_id % 100)::VARCHAR, 2, '0')
+           || ' from 10.' || (doc_id % 64)::VARCHAR || '.0.'
+           || (doc_id % 250)::VARCHAR AS text
+  FROM documents),
+m1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+              regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t
+       FROM enr),
+m2 AS (SELECT doc_id, n_emails,
+              len(regexp_extract_all(t, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+              regexp_replace(t, '{IPV4_RE}', '<IP>', 'g') AS t
+       FROM m1),
+m3 AS (SELECT doc_id, n_emails, n_ipv4,
+              len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+              regexp_replace(t, '{PHONE_RE}', '<PHONE>', 'g') AS t
+       FROM m2)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       len(t)::BIGINT AS masked_len, sha256(t) AS masked_sha
+FROM m3
+"""
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+ORACLES["pii_scrub"] = _sql_pii()
+
+
+# ---------------------------------------------------------------------------
+# round 5: language-mix rebalancing weights
+# ---------------------------------------------------------------------------
+
+
+def q_lang_mix(spark, sf_dir):
+    """Per-language keep-rates rebalancing the documents corpus to a
+    uniform language mix (datapipe/sampling.mix_weights) — the rates
+    feed stratified_sample's deterministic hash filter."""
+    from fog_spark.datapipe.sampling import mix_weights
+
+    return mix_weights(load(spark, sf_dir, "documents"), strata_col="lang")
+
+
+SQL_LANG_MIX = """
+WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_strata FROM c)
+SELECT stratum, n,
+       round(least(1.0, ((1.0 / n_strata) * total) / n), 6) AS rate_r,
+       round(least(1.0, ((1.0 / n_strata) * total) / n) * n, 6) AS expected_r
+FROM c, t
+"""
+
+QUERIES["lang_mix"] = q_lang_mix
+ORACLES["lang_mix"] = SQL_LANG_MIX
+
+
+# ---------------------------------------------------------------------------
+# round 5: 2-approximate vertex cover (endpoints of the greedy matching)
+# ---------------------------------------------------------------------------
+
+
+def q_vertex_cover(spark, sf_dir):
+    """Vertex cover from the same 3 matching rounds as matching_r3
+    (algorithms/matching.vertex_cover): distinct endpoints of the
+    matched pairs — at convergence a 2-approximation of minimum cover;
+    the fixed-round form the oracle replays."""
+    from fog_spark.algorithms.matching import vertex_cover
+
+    return vertex_cover(
+        cooccur_edges(spark, sf_dir), salt=MIS_SALT, max_rounds=MATCH_ROUNDS
+    )
+
+
+SQL_VERTEX_COVER = f"""
+SELECT DISTINCT id FROM (
+  SELECT unnest([a, b]) AS id FROM ({_sql_matching(MATCH_ROUNDS, MIS_SALT)})
+)
+"""
+
+QUERIES["vertex_cover"] = q_vertex_cover
+ORACLES["vertex_cover"] = SQL_VERTEX_COVER
+
+
+# ---------------------------------------------------------------------------
+# round 5: ANF curve + effective diameter readout
+# ---------------------------------------------------------------------------
+
+
+def q_eff_diameter(spark, sf_dir):
+    """The ANF curve N(r) for r = 0..3 on the order-chain directed
+    graph (algorithms/anf.anf_curve): micro-rounded integer sums of the
+    per-vertex KMV ball estimates, with reaches90 marking the
+    effective-diameter threshold N(r) >= 0.9 N(3). Exact-replayable:
+    integer sums are partition-order-free."""
+    from fog_spark.algorithms.anf import anf_curve
+
+    return anf_curve(directed_edges(spark, sf_dir), radius=ANF_RADIUS, k=ANF_K)
+
+
+def _sql_anf_curve(radius: int, k: int) -> str:
+    balls = []
+    for r in range(1, radius + 1):
+        balls.append(
+            f"b{r} AS MATERIALIZED (SELECT DISTINCT v, m FROM (\n"
+            f"  SELECT v, m FROM b{r-1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT e.src AS v, b.m FROM dedges e JOIN b{r-1} b ON b.v = e.dst))"
+        )
+    per = []
+    for r in range(radius + 1):
+        hv = _hex_fold_sql("md5(m::VARCHAR)", 13)
+        per.append(
+            f"h{r} AS (SELECT v, {hv} + 1 AS hv FROM b{r}),\n"
+            f"r{r} AS (SELECT v, hv, row_number() OVER (PARTITION BY v ORDER BY hv) AS rk,\n"
+            f"             count(*) OVER (PARTITION BY v) AS nd FROM h{r}),\n"
+            f"a{r} AS (SELECT {r} AS r, sum(round(\n"
+            f"  (CASE WHEN nd < {k} THEN nd::DOUBLE\n"
+            f"        ELSE {k - 1}.0 / (hv / {float(2 ** 52)!r}) END) * 1000000.0\n"
+            f")::BIGINT) AS n_micro FROM r{r} WHERE rk = least(nd, {k}))"
+        )
+    curve = " UNION ALL ".join(f"SELECT r, n_micro FROM a{r}" for r in range(radius + 1))
+    return f"""
+WITH {DEDGES_CTE},
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges)),
+b0 AS (SELECT id AS v, id AS m FROM verts),
+{','.join(balls)},
+{','.join(per)},
+curve AS ({curve}),
+fin AS (SELECT n_micro AS final_micro FROM curve WHERE r = {radius})
+SELECT r::INT AS r, n_micro, n_micro * 10 >= final_micro * 9 AS reaches90
+FROM curve, fin
+"""
+
+
+QUERIES["eff_diameter"] = q_eff_diameter
+ORACLES["eff_diameter"] = _sql_anf_curve(ANF_RADIUS, ANF_K)

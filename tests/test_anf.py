@@ -77,3 +77,25 @@ def test_sketch_saturates_at_eccentricity(spark):
     a = {r["id"]: list(r["hvs"]) for r in s3.collect()}
     b = {r["id"]: list(r["hvs"]) for r in s5.collect()}
     assert a == b
+
+
+def test_anf_curve_exact_small_k_and_reaches90(spark):
+    from fog_spark.algorithms.anf import anf_curve
+
+    # chain 0->1->2->3->4: ball sizes by r are exact when k > max ball
+    E = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    rows = {r["r"]: r for r in anf_curve(df, radius=4, k=64).collect()}
+    sizes = py_ball_sizes(E, 0)
+    for r in range(5):
+        sizes = py_ball_sizes(E, r)
+        assert rows[r]["n_micro"] == sum(sizes.values()) * 1_000_000
+    # monotone non-decreasing, final r always reaches90
+    ns = [rows[r]["n_micro"] for r in range(5)]
+    assert ns == sorted(ns)
+    assert rows[4]["reaches90"]
+    first = min(r for r in range(5) if rows[r]["reaches90"])
+    n_final = rows[4]["n_micro"]
+    assert rows[first]["n_micro"] * 10 >= n_final * 9
+    if first > 0:
+        assert rows[first - 1]["n_micro"] * 10 < n_final * 9

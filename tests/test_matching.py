@@ -72,3 +72,21 @@ def test_matching_fixed_rounds_prefix(spark):
     got = _run(spark, E, salt=5, max_rounds=1)
     exp = {e: t for e, t in full.items() if t <= 1}
     assert got == exp
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    import random
+
+    from fog_spark.algorithms.matching import vertex_cover
+
+    rng = random.Random(77)
+    E = list({(rng.randrange(50), rng.randrange(50)) for _ in range(220)})
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    cover = {r["id"] for r in vertex_cover(df, salt=5).collect()}
+    for a, b in E:
+        if a != b:
+            assert a in cover or b in cover, (a, b)
+    # 2-approximation: endpoints of a matching M -> |cover| = 2|M|,
+    # and any cover needs >= |M| vertices, so |cover| <= 2 * OPT.
+    m = py_matching(E, salt=5)
+    assert len(cover) == 2 * len(m)

@@ -63,3 +63,41 @@ def test_take_exact_k_per_stratum(spark):
 def test_take_caps_at_stratum_size(spark):
     rows = stratified_take(_docs(spark, 10), 100, salt=7).collect()
     assert len(rows) == 10
+
+
+def test_mix_weights_uniform_target(spark):
+    from fog_spark.datapipe.sampling import mix_weights
+
+    # skewed corpus: en 1200, de 400, fr 300, zh 100
+    pdf = pd.DataFrame({
+        "doc_id": range(2000),
+        "lang": ["en"] * 1200 + ["de"] * 400 + ["fr"] * 300 + ["zh"] * 100,
+    })
+    rows = {r["stratum"]: r for r in
+            mix_weights(spark.createDataFrame(pdf)).collect()}
+    # uniform target = 500 each; zh (smallest) capped at 1.0
+    assert rows["zh"]["rate_r"] == 1.0
+    assert abs(rows["en"]["rate_r"] - 500 / 1200) < 1e-6
+    assert rows["de"]["rate_r"] == 1.0  # 500/400 > 1 -> capped
+    assert abs(rows["en"]["expected_r"] - 500.0) < 1e-3
+
+
+def test_mix_weights_explicit_target(spark):
+    from fog_spark.datapipe.sampling import mix_weights
+
+    pdf = pd.DataFrame({
+        "doc_id": range(1000),
+        "lang": ["en"] * 800 + ["de"] * 200,
+    })
+    rows = {r["stratum"]: r for r in
+            mix_weights(spark.createDataFrame(pdf),
+                        target={"en": 0.5, "de": 0.5}).collect()}
+    assert abs(rows["en"]["rate_r"] - 500 / 800) < 1e-6
+    assert rows["de"]["rate_r"] == 1.0
+    # unlisted strata get share 0 -> rate 0
+    pdf2 = pd.DataFrame({"doc_id": range(100),
+                         "lang": ["en"] * 50 + ["xx"] * 50})
+    rows2 = {r["stratum"]: r for r in
+             mix_weights(spark.createDataFrame(pdf2),
+                         target={"en": 1.0}).collect()}
+    assert rows2["xx"]["rate_r"] == 0.0
