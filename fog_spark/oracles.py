@@ -392,3 +392,54 @@ def topo_levels(edges: np.ndarray, n: int) -> dict[int, tuple[int, int]]:
                 level[b] = level[a] + 1
                 changed = True
     return {v: (int(comp[v]), level[int(comp[v])]) for v in verts}
+
+
+def bowtie(edges: np.ndarray, n: int) -> dict[int, str]:
+    """{id: region} per Broder et al. 2000 — CORE = largest SCC (ties:
+    smallest min-label), IN reaches it, OUT is reached from it, TUBE =
+    IN-reachable AND OUT-reaching remainder, TENDRIL = exactly one of
+    those, DISC = neither. Vertices restricted to edge endpoints."""
+    comp = scc(edges, n)
+    verts = sorted({int(v) for e in edges for v in e}) if len(edges) else []
+    sizes: dict[int, int] = {}
+    for v in verts:
+        sizes[int(comp[v])] = sizes.get(int(comp[v]), 0) + 1
+    core_lbl = min(sizes, key=lambda c: (-sizes[c], c))
+    fadj: dict[int, list[int]] = {}
+    radj: dict[int, list[int]] = {}
+    for s, t in edges:
+        if s != t:
+            fadj.setdefault(int(s), []).append(int(t))
+            radj.setdefault(int(t), []).append(int(s))
+
+    def reach(seeds: set[int], adj: dict[int, list[int]]) -> set[int]:
+        vis, work = set(seeds), list(seeds)
+        while work:
+            v = work.pop()
+            for w in adj.get(v, []):
+                if w not in vis:
+                    vis.add(w)
+                    work.append(w)
+        return vis
+
+    core = {v for v in verts if int(comp[v]) == core_lbl}
+    fwd = reach(core, fadj)
+    bwd = reach(core, radj)
+    inn, outt = bwd - core, fwd - core
+    from_in = reach(inn, fadj) if inn else set()
+    to_out = reach(outt, radj) if outt else set()
+    out: dict[int, str] = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif v in bwd:
+            out[v] = "IN"
+        elif v in fwd:
+            out[v] = "OUT"
+        elif v in from_in and v in to_out:
+            out[v] = "TUBE"
+        elif v in from_in or v in to_out:
+            out[v] = "TENDRIL"
+        else:
+            out[v] = "DISC"
+    return out

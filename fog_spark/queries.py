@@ -3959,3 +3959,68 @@ FROM curve, fin
 
 QUERIES["eff_diameter"] = q_eff_diameter
 ORACLES["eff_diameter"] = _sql_anf_curve(ANF_RADIUS, ANF_K)
+
+
+# ---------------------------------------------------------------------------
+# round 5: bowtie decomposition (Broder et al. 2000 web macro-structure)
+# ---------------------------------------------------------------------------
+
+BOWTIE_MOD = 61  # order sample yielding all six regions at sf0.01
+
+
+def q_bowtie(spark, sf_dir):
+    """Per-vertex bowtie region of the order-chain directed graph
+    (algorithms/bowtie.bowtie_decomposition): CORE = largest SCC,
+    IN/OUT by core reachability, TUBE/TENDRIL/DISC on the remainder.
+    The oracle classifies off one recursive transitive closure — the
+    Spark side never materializes a closure, only frontier fixed
+    points (reference ingredients: application/scc.hpp:22-207 fwd/bwd
+    labels, application/bfs.hpp:38-100 frontier supersteps)."""
+    from fog_spark.algorithms.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(directed_edges(spark, sf_dir, mod=BOWTIE_MOD))
+
+
+SQL_BOWTIE = f"""
+WITH RECURSIVE {_dedges_cte(BOWTIE_MOD)},
+dverts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+reach AS MATERIALIZED (
+  SELECT id AS u, id AS v FROM dverts
+  UNION
+  SELECT r.u, e.dst AS v FROM reach r JOIN dedges e ON e.src = r.v
+),
+scc AS MATERIALIZED (
+  SELECT f.v AS id, min(f.u) AS comp FROM reach f
+  WHERE EXISTS (SELECT 1 FROM reach b WHERE b.u = f.v AND b.v = f.u)
+  GROUP BY f.v
+),
+corec AS (SELECT comp FROM scc GROUP BY comp ORDER BY count(*) DESC, comp LIMIT 1),
+core AS (SELECT id FROM scc WHERE comp = (SELECT comp FROM corec)),
+fwd AS (SELECT DISTINCT r.v AS id FROM reach r JOIN core c ON r.u = c.id),
+bwd AS (SELECT DISTINCT r.u AS id FROM reach r JOIN core c ON r.v = c.id),
+cls0 AS (
+  SELECT s.id,
+    CASE WHEN cr.id IS NOT NULL THEN 'CORE'
+         WHEN b.id IS NOT NULL THEN 'IN'
+         WHEN f.id IS NOT NULL THEN 'OUT'
+         ELSE NULL END AS region
+  FROM scc s
+  LEFT JOIN core cr ON cr.id = s.id
+  LEFT JOIN fwd f ON f.id = s.id
+  LEFT JOIN bwd b ON b.id = s.id
+),
+inn AS (SELECT id FROM cls0 WHERE region = 'IN'),
+outt AS (SELECT id FROM cls0 WHERE region = 'OUT'),
+from_in AS (SELECT DISTINCT r.v AS id FROM reach r JOIN inn i ON r.u = i.id),
+to_out AS (SELECT DISTINCT r.u AS id FROM reach r JOIN outt o ON r.v = o.id)
+SELECT c.id, coalesce(c.region,
+  CASE WHEN fi.id IS NOT NULL AND t.id IS NOT NULL THEN 'TUBE'
+       WHEN fi.id IS NOT NULL OR  t.id IS NOT NULL THEN 'TENDRIL'
+       ELSE 'DISC' END) AS region
+FROM cls0 c
+LEFT JOIN from_in fi ON fi.id = c.id
+LEFT JOIN to_out t ON t.id = c.id
+"""
+
+QUERIES["bowtie"] = q_bowtie
+ORACLES["bowtie"] = SQL_BOWTIE
