@@ -23,7 +23,7 @@ prediction candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fog_spark.engine.superstep import symmetrize
 
@@ -118,3 +118,56 @@ def cocitation_coupling(
         )
     )
     return out.filter((F.col("cocited") >= min_count) | (F.col("coupled") >= min_count))
+
+
+def related_pages(
+    edges: DataFrame,
+    k: int = 5,
+    max_degree: int | None = 10_000,
+) -> DataFrame:
+    """(page, related, cocited, jaccard_r, rank): the top-``k`` most
+    related pages per page by IN-neighborhood Jaccard — the classic
+    citation-graph "related articles" measure (co-citation normalized
+    by the union of citing sets):
+
+        jaccard(a, b) = |In(a) ∩ In(b)| / |In(a) ∪ In(b)|
+
+    Candidates are generated ONLY through a shared citing vertex (the
+    co-citation wedge join, hub centers capped at ``max_degree``) —
+    never all-pairs — then both orientations are emitted so every page
+    carries its own ranked list. Ranking is on the 6-decimal-rounded
+    Jaccard with the related id as the deterministic tie-break (the
+    cross-engine ranking discipline established by tf-idf).
+    """
+    ded = edges.filter(F.col("src") != F.col("dst")).select("src", "dst") \
+        .distinct().localCheckpoint(eager=False)
+    indeg = ded.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("indeg"))
+
+    cdeg = ded.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    centers = cdeg if max_degree is None else cdeg.filter(F.col("d") <= max_degree)
+    adj = ded.join(centers.select("src"), "src")
+    a = adj.select("src", F.col("dst").alias("a"))
+    b = adj.select("src", F.col("dst").alias("b"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cocited"))
+    )
+    both = pairs.select(F.col("a").alias("page"), F.col("b").alias("related"), "cocited").unionByName(
+        pairs.select(F.col("b").alias("page"), F.col("a").alias("related"), "cocited")
+    )
+    scored = (
+        both.join(indeg.select(F.col("id").alias("page"), F.col("indeg").alias("dp")), "page")
+        .join(indeg.select(F.col("id").alias("related"), F.col("indeg").alias("dr")), "related")
+        .select(
+            "page", "related", "cocited",
+            F.round(F.col("cocited") / (F.col("dp") + F.col("dr") - F.col("cocited")), 6).alias("jaccard_r"),
+        )
+    )
+    w = Window.partitionBy("page").orderBy(F.desc("jaccard_r"), F.asc("related"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("page", "related", F.col("cocited").cast("long").alias("cocited"), "jaccard_r", "rank")
+    )

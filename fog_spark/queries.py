@@ -4024,3 +4024,56 @@ LEFT JOIN to_out t ON t.id = c.id
 
 QUERIES["bowtie"] = q_bowtie
 ORACLES["bowtie"] = SQL_BOWTIE
+
+
+# ---------------------------------------------------------------------------
+# round 5: related pages by in-neighborhood Jaccard
+# ---------------------------------------------------------------------------
+
+RELATED_K = 5
+
+
+def q_related_pages(spark, sf_dir):
+    """Top-5 related pages per page on the order-chain directed graph
+    (algorithms/linkpred.related_pages): co-citation counts normalized
+    to in-neighborhood Jaccard, ranked on the 6-decimal-rounded score
+    with the related id as tie-break. Candidates come only from the
+    shared-citing-vertex wedge join — never all-pairs."""
+    from fog_spark.algorithms.linkpred import related_pages
+
+    return related_pages(directed_edges(spark, sf_dir), k=RELATED_K)
+
+
+SQL_RELATED_PAGES = f"""
+WITH {DEDGES_CTE},
+indeg AS (SELECT dst AS id, count(*) AS indeg FROM dedges GROUP BY dst),
+cdeg AS (SELECT src, count(*) AS d FROM dedges GROUP BY src),
+pairs AS (
+  SELECT x.dst AS a, y.dst AS b, count(*) AS cocited
+  FROM dedges x JOIN dedges y ON x.src = y.src AND x.dst < y.dst
+  JOIN cdeg c ON c.src = x.src AND c.d <= 10000
+  GROUP BY 1, 2
+),
+bothdir AS (
+  SELECT a AS page, b AS related, cocited FROM pairs
+  UNION ALL
+  SELECT b AS page, a AS related, cocited FROM pairs
+),
+scored AS (
+  SELECT page, related, cocited,
+         round(cocited / (dp.indeg + dr.indeg - cocited), 6) AS jaccard_r
+  FROM bothdir
+  JOIN indeg dp ON dp.id = page
+  JOIN indeg dr ON dr.id = related
+),
+ranked AS (
+  SELECT page, related, cocited, jaccard_r,
+         row_number() OVER (PARTITION BY page ORDER BY jaccard_r DESC, related ASC) AS rank
+  FROM scored
+)
+SELECT page, related, cocited::BIGINT AS cocited, jaccard_r, rank::INT AS rank
+FROM ranked WHERE rank <= {RELATED_K}
+"""
+
+QUERIES["related_pages"] = q_related_pages
+ORACLES["related_pages"] = SQL_RELATED_PAGES

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from fog_spark import oracles
 from fog_spark.algorithms import label_propagation, triangle_counts
 from fog_spark.algorithms.triangles import triangle_total
-from fog_spark.fixtures import graph_to_spark, named_graphs
+from fog_spark.fixtures import graph_to_spark, make_er_graph, named_graphs
 
 GRAPHS = named_graphs()
 
@@ -56,7 +56,7 @@ def test_k_core_matches_oracle(spark):
     """k-core peel (fixed point AND fixed rounds) vs the set-based
     oracle on the fixture zoo, several k."""
     from fog_spark.algorithms.kcore import k_core
-    from fog_spark.fixtures import graph_to_spark, named_graphs
+    from fog_spark.fixtures import graph_to_spark, make_er_graph, named_graphs
     from fog_spark import oracles
 
     for gname in ("g_er_n100", "g_two_comp", "g_plaw_n1000"):
@@ -338,3 +338,49 @@ def test_cocitation_coupling_brute_force(spark):
     )
     assert cocitation_coupling(star).count() == 15  # C(6,2)
     assert cocitation_coupling(star, max_degree=5).count() == 0
+
+
+def test_related_pages_brute_force(spark):
+    """related_pages vs a brute-force in-neighborhood Jaccard + top-k."""
+    import itertools
+
+    from fog_spark.algorithms.linkpred import related_pages
+
+    g = make_er_graph(n=40, p=0.08, seed=13)
+    pairs = [(int(s), int(t)) for s, t in g.edges if s != t]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+
+    innb: dict[int, set[int]] = {}
+    for s, t in set(pairs):
+        innb.setdefault(t, set()).add(s)
+    expected: dict[int, list[tuple]] = {}
+    scored: dict[int, list] = {}
+    for a, b in itertools.combinations(sorted(innb), 2):
+        common = len(innb[a] & innb[b])
+        if common == 0:
+            continue  # wedge join only emits co-cited pairs
+        jac = round(common / len(innb[a] | innb[b]), 6)
+        scored.setdefault(a, []).append((-jac, b, common))
+        scored.setdefault(b, []).append((-jac, a, common))
+    for page, lst in scored.items():
+        lst.sort()
+        expected[page] = [
+            (other, common, -negjac, rank + 1)
+            for rank, (negjac, other, common) in enumerate(lst[:3])
+        ]
+
+    got: dict[int, list[tuple]] = {}
+    for r in related_pages(df, k=3).orderBy("page", "rank").collect():
+        got.setdefault(r["page"], []).append(
+            (r["related"], r["cocited"], r["jaccard_r"], r["rank"])
+        )
+    assert got == expected
+
+
+def test_related_pages_hub_cap(spark):
+    """A citing hub above max_degree contributes no candidate pairs."""
+    from fog_spark.algorithms.linkpred import related_pages
+
+    star = spark.createDataFrame([(99, i) for i in range(6)], ["src", "dst"])
+    assert related_pages(star).count() == 30  # 6 pages x 5 relateds
+    assert related_pages(star, max_degree=5).count() == 0
