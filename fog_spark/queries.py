@@ -4077,3 +4077,49 @@ FROM ranked WHERE rank <= {RELATED_K}
 
 QUERIES["related_pages"] = q_related_pages
 ORACLES["related_pages"] = SQL_RELATED_PAGES
+
+
+# ---------------------------------------------------------------------------
+# round 5: sequence packing (concat-and-chunk training windows)
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 512
+
+
+def q_seq_packing(spark, sf_dir):
+    """GPT-style sequence-packing manifest over documents
+    (datapipe/packing.pack_documents): concatenate the corpus in doc_id
+    order, cut every 512 tokens, report which segment of which document
+    fills which context window. The Spark side computes global offsets
+    with a two-pass distributed prefix sum (O(#partitions) driver
+    transfer); the oracle replays it with one ordered window."""
+    from fog_spark.datapipe.packing import pack_documents
+
+    return pack_documents(load(spark, sf_dir, "documents"), window=PACK_WINDOW)
+
+
+SQL_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS start
+  FROM t WHERE n > 0
+),
+b AS (
+  SELECT doc_id, n, start,
+         unnest(generate_series(start // {PACK_WINDOW}, (start + n - 1) // {PACK_WINDOW})) AS bin
+  FROM o
+)
+SELECT bin,
+       doc_id,
+       greatest(start, bin * {PACK_WINDOW}) - start AS doc_off,
+       greatest(start, bin * {PACK_WINDOW}) - bin * {PACK_WINDOW} AS bin_off,
+       least(start + n, (bin + 1) * {PACK_WINDOW}) - greatest(start, bin * {PACK_WINDOW}) AS len
+FROM b
+"""
+
+QUERIES["seq_packing"] = q_seq_packing
+ORACLES["seq_packing"] = SQL_SEQ_PACKING
