@@ -4123,3 +4123,112 @@ FROM b
 
 QUERIES["seq_packing"] = q_seq_packing
 ORACLES["seq_packing"] = SQL_SEQ_PACKING
+
+
+# ---------------------------------------------------------------------------
+# round 5: dyad census + deterministic independent-cascade influence
+# ---------------------------------------------------------------------------
+
+
+def q_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt dyad census of the order-chain directed graph:
+    mutual / asymmetric / null unordered pairs, plus edge reciprocity
+    (2M / |E|, 6-decimal). One pair-key aggregate — no closure, no
+    all-pairs; null dyads come from |V| arithmetic."""
+    ded = directed_edges(spark, sf_dir)
+    pair = ded.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    from fog_spark.engine.superstep import vertices_of
+
+    cnts = pair.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    m = cnts.agg(
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("mutual"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("asym"),
+    )
+    nv = vertices_of(ded).agg(F.count(F.lit(1)).alias("nv"))
+    ne = ded.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        m.crossJoin(nv)  # 1-row x 1-row final assembly
+        .crossJoin(ne)
+        .select(
+            F.col("mutual").cast("long").alias("mutual"),
+            F.col("asym").cast("long").alias("asym"),
+            (F.col("nv") * (F.col("nv") - 1) / 2 - F.col("mutual") - F.col("asym"))
+            .cast("long")
+            .alias("null_pairs"),
+            F.round(2.0 * F.col("mutual") / F.col("ne"), 6).alias("reciprocity_r"),
+        )
+    )
+
+
+SQL_DYAD_CENSUS = f"""
+WITH {DEDGES_CTE},
+cnts AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS c
+  FROM dedges GROUP BY 1, 2
+),
+m AS (SELECT sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS mutual,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS asym FROM cnts),
+v AS (SELECT count(*) AS nv FROM (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges)),
+e AS (SELECT count(*) AS ne FROM dedges)
+SELECT mutual::BIGINT AS mutual, asym::BIGINT AS asym,
+       (nv * (nv - 1) / 2 - mutual - asym)::BIGINT AS null_pairs,
+       round(2.0 * mutual / ne, 6) AS reciprocity_r
+FROM m, v, e
+"""
+
+QUERIES["dyad_census"] = q_dyad_census
+ORACLES["dyad_census"] = SQL_DYAD_CENSUS
+
+
+IC_SEEDS = 4
+IC_SAMPLES = 3
+IC_PNUM = 1288490188  # floor(0.30 * 2^32)
+
+
+def q_influence_ic(spark, sf_dir):
+    """Independent-cascade influence of the top-4 out-degree seeds over
+    3 deterministic hash-activated edge samples
+    (algorithms/cascade.influence_spread): per (seed, sample), the size
+    of the seed's reachable set on the fired subgraph. Every activation
+    is a pure md5-fold function of (src, dst, sample), so the oracle
+    replays the exact cascades with a recursive CTE."""
+    from fog_spark.algorithms.cascade import influence_spread
+
+    e = directed_edges(spark, sf_dir)
+    seeds = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("src"))
+        .limit(IC_SEEDS)
+        .select(F.col("src").alias("root"))
+    )
+    return influence_spread(e, seeds, p_num=IC_PNUM, samples=IC_SAMPLES).select(
+        "seed", F.col("sample").cast("long").alias("sample"), F.col("reach").cast("long").alias("reach")
+    )
+
+
+_IC_HASH = _hex_fold_sql(
+    "md5(e.src::VARCHAR || '-' || e.dst::VARCHAR || '-' || s.k::VARCHAR)", 8
+)
+
+SQL_INFLUENCE_IC = f"""
+WITH RECURSIVE {DEDGES_CTE},
+samples AS (SELECT unnest(generate_series(0, {IC_SAMPLES - 1})) AS k),
+seeds AS (SELECT src AS root FROM dedges GROUP BY src ORDER BY count(*) DESC, src LIMIT {IC_SEEDS}),
+act AS MATERIALIZED (
+  SELECT s.k, e.src, e.dst FROM dedges e CROSS JOIN samples s
+  WHERE {_IC_HASH} < {IC_PNUM}
+),
+reach AS (
+  SELECT s2.k, sd.root, sd.root AS v FROM seeds sd CROSS JOIN samples s2
+  UNION
+  SELECT r.k, r.root, a.dst AS v FROM reach r JOIN act a ON a.k = r.k AND a.src = r.v
+)
+SELECT root AS seed, k::BIGINT AS sample, count(*)::BIGINT AS reach
+FROM reach GROUP BY root, k
+"""
+
+QUERIES["influence_ic"] = q_influence_ic
+ORACLES["influence_ic"] = SQL_INFLUENCE_IC
