@@ -187,6 +187,25 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
             .groupBy("id")
             .agg((F.lit(float(n) / len(roots)) * F.sum("delta")).alias("bc"))
         )
+    if args.app == "bowtie":
+        from fog_spark.algorithms.bowtie import bowtie_decomposition
+
+        return bowtie_decomposition(edges, vertices=vertices)
+    if args.app == "related":
+        from fog_spark.algorithms.linkpred import related_pages
+
+        return related_pages(edges, k=args.topk, max_degree=args.max_degree)
+    if args.app == "influence":
+        from fog_spark.algorithms.cascade import HASH_DEN, influence_spread
+
+        if not args.seeds:
+            raise ValueError("--app influence requires --seeds id[,id...]")
+        seeds = edges.sparkSession.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "root long"
+        )
+        return influence_spread(
+            edges, seeds, p_num=int(args.prob * HASH_DEN), samples=args.samples
+        )
     if args.app == "ppr":
         from fog_spark.algorithms.pagerank import pagerank_personalized
 
@@ -222,6 +241,10 @@ def _run_table_app(args, spark: SparkSession) -> DataFrame:
             right_ts=args.ts_col,
             tolerance_s=args.tolerance,
         )
+    if args.app == "pack":
+        from fog_spark.datapipe.packing import pack_documents
+
+        return pack_documents(spark.read.parquet(args.graph), window=args.window)
     if args.app == "dedup":
         from fog_spark.datapipe.dedup import dedup_corpus
 
@@ -235,7 +258,7 @@ def _run_table_app(args, spark: SparkSession) -> DataFrame:
     raise ValueError(f"unknown table app {args.app}")
 
 
-TABLE_APPS = ("tfidf", "asof", "dedup")
+TABLE_APPS = ("tfidf", "asof", "dedup", "pack")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -249,7 +272,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
                  "msf", "louvain", "betweenness", "ktruss", "coreness", "mis", "katz",
-                 "tfidf", "asof", "dedup"],
+                 "bowtie", "related", "influence",
+                 "tfidf", "asof", "dedup", "pack"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -279,7 +303,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="linkpred: exclude shared-neighbor centers above this degree")
     p.add_argument("--min-common", type=int, default=1,
                    help="linkpred: minimum shared neighbors per candidate pair")
-    p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document")
+    p.add_argument("--topk", type=int, default=5, help="tfidf: terms per document; related: pages per page")
+    p.add_argument("--prob", type=float, default=0.3, help="influence: per-edge activation probability")
+    p.add_argument("--samples", type=int, default=3, help="influence: deterministic cascade samples")
+    p.add_argument("--window", type=int, default=512, help="pack: context window size in tokens")
     p.add_argument("--minhash-k", type=int, default=16, help="dedup: minhash signature size")
     p.add_argument("--bands", type=int, default=4, help="dedup: LSH bands (rows = k/bands)")
     p.add_argument("--threshold", type=float, default=0.8,

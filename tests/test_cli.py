@@ -301,3 +301,60 @@ def test_cli_mis_katz(spark, tmp_path):
     got = {r["id"]: r["katz"] for r in spark.read.parquet(out2).collect()}
     for v in got:
         assert abs(got[v] - exp[v]) < 1e-9
+
+
+def test_cli_bowtie_related_influence(spark, tmp_path):
+    g = named_graphs()["g_dag"]
+    path = _write_edgelist(tmp_path, g)
+    from fog_spark.sources.edgelist import read_edgelist
+
+    out = str(tmp_path / "bt")
+    rc = main(["--graph", path, "--app", "bowtie", "--out", out], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.bowtie import bowtie_decomposition
+
+    expect = sorted(map(tuple, bowtie_decomposition(read_edgelist(spark, path)).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+    out2 = str(tmp_path / "rel")
+    rc = main(["--graph", path, "--app", "related", "--topk", "2", "--out", out2], spark=spark)
+    assert rc == 0
+    from fog_spark.algorithms.linkpred import related_pages
+
+    expect2 = sorted(map(tuple, related_pages(read_edgelist(spark, path), k=2).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
+
+    out3 = str(tmp_path / "ic")
+    rc = main(
+        ["--graph", path, "--app", "influence", "--seeds", "0,1",
+         "--prob", "0.5", "--samples", "2", "--out", out3],
+        spark=spark,
+    )
+    assert rc == 0
+    from fog_spark.algorithms.cascade import HASH_DEN, influence_spread
+
+    seeds = spark.createDataFrame([(0,), (1,)], ["root"])
+    expect3 = sorted(map(tuple, influence_spread(
+        read_edgelist(spark, path), seeds, p_num=int(0.5 * HASH_DEN), samples=2
+    ).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out3).collect())) == expect3
+
+
+def test_cli_pack(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["one two three", "", "four five six seven"]}
+    )
+    dpath = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(dpath)
+    out = str(tmp_path / "packed")
+    rc = main(
+        ["--graph", dpath, "--format", "parquet", "--app", "pack",
+         "--window", "4", "--out", out],
+        spark=spark,
+    )
+    assert rc == 0
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # corpus = 3 + 4 tokens; windows of 4: doc1[0:3], doc3[0:1] fill bin 0, doc3[1:4] bin 1
+    assert got == [(0, 1, 0, 0, 3), (0, 3, 0, 3, 1), (1, 3, 1, 0, 3)]
