@@ -4232,3 +4232,72 @@ FROM reach GROUP BY root, k
 
 QUERIES["influence_ic"] = q_influence_ic
 ORACLES["influence_ic"] = SQL_INFLUENCE_IC
+
+
+# ---------------------------------------------------------------------------
+# round 5: seeded label spreading (micro-integer clamped propagation)
+# ---------------------------------------------------------------------------
+
+LS_ROUNDS = 3
+LS_SEEDS = 6
+
+
+def q_label_spread(spark, sf_dir):
+    """Seeded label spreading on the order-chain directed graph
+    (algorithms/labelspread.label_spreading): the 6 highest-degree
+    vertices (symmetrized degree, ties to smaller id) seed their own
+    ids as labels; 3 clamped micro-integer spreading rounds; output =
+    per-vertex argmax label + its micro-mass. All-integer arithmetic,
+    replayed round-for-round by the oracle."""
+    from fog_spark.algorithms.labelspread import label_spreading
+    from fog_spark.engine.superstep import symmetrize
+
+    e = directed_edges(spark, sf_dir)
+    deg = (
+        symmetrize(e).distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seeds = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(LS_SEEDS)
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+    )
+    return label_spreading(e, seeds, rounds=LS_ROUNDS)
+
+
+def _sql_label_spread(rounds: int, nseeds: int) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"m{r} AS (SELECT a.dst AS id, s.label, s.m // d.outdeg AS m\n"
+            f"         FROM s{r-1} s JOIN sym a ON a.src = s.id JOIN deg d ON d.src = s.id),\n"
+            f"g{r} AS (SELECT id, label, sum(m) AS m FROM m{r} GROUP BY id, label HAVING sum(m) > 0),\n"
+            f"s{r} AS MATERIALIZED (SELECT g.id, g.label, g.m FROM g{r} g\n"
+            f"       WHERE g.id NOT IN (SELECT id FROM seeds)\n"
+            f"       UNION ALL SELECT id, label, m FROM seeds)"
+        )
+    return f"""
+WITH {DEDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM dedges UNION ALL SELECT dst AS src, src AS dst FROM dedges
+  )
+),
+deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT src AS id, src AS label, 1000000::BIGINT AS m
+  FROM deg ORDER BY outdeg DESC, src LIMIT {nseeds}
+),
+s0 AS (SELECT id, label, m FROM seeds),
+{','.join(steps)}
+SELECT id, label, m FROM (
+  SELECT id, label, m,
+         row_number() OVER (PARTITION BY id ORDER BY m DESC, label ASC) AS rk
+  FROM s{rounds}
+) WHERE rk = 1
+"""
+
+
+QUERIES["label_spread"] = q_label_spread
+ORACLES["label_spread"] = _sql_label_spread(LS_ROUNDS, LS_SEEDS)
