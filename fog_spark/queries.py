@@ -4301,3 +4301,50 @@ SELECT id, label, m FROM (
 
 QUERIES["label_spread"] = q_label_spread
 ORACLES["label_spread"] = _sql_label_spread(LS_ROUNDS, LS_SEEDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: distributed BPE merge-rule training
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The first 6 learned BPE merge rules over documents
+    (datapipe/bpe.bpe_train): distinct-word frequency reduction, then
+    per round one corpus-weighted adjacent-pair count, one 1-row
+    argmax, and a windows-only greedy merge application. The oracle
+    unrolls the identical rounds in SQL — pair counts AND the evolving
+    symbol tables replay exactly."""
+    from fog_spark.datapipe.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
+def _sql_bpe(rounds: int) -> str:
+    parts = [
+        "wt AS (SELECT t AS w, count(*) AS freq FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents) GROUP BY t)",
+        "t0 AS MATERIALIZED (SELECT w, freq, i - 1 AS pos, substr(w, i::INT, 1) AS sym FROM wt, unnest(generate_series(1, length(w))) AS g(i))",
+    ]
+    for r in range(1, rounds + 1):
+        tp = f"t{r-1}"
+        parts += [
+            f"p{r} AS (SELECT sym AS lhs, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS rhs, freq FROM {tp})",
+            f"b{r} AS MATERIALIZED (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p{r} WHERE rhs IS NOT NULL GROUP BY lhs, rhs ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+            f"d{r} AS (SELECT t.w, t.freq, t.pos, t.sym, (t.sym = b.lhs AND lead(t.sym) OVER (PARTITION BY t.w ORDER BY t.pos) = b.rhs) AS cand FROM {tp} t, b{r} b)",
+            f"e{r} AS (SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl FROM d{r} WHERE cand)",
+            f"f{r} AS (SELECT w, pos, TRUE AS mrg FROM (SELECT w, pos, row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn FROM e{r}) WHERE rn % 2 = 1)",
+            f"g{r} AS (SELECT d.w, d.freq, d.pos, d.sym, coalesce(f.mrg, FALSE) AS mrg FROM d{r} d LEFT JOIN f{r} f ON f.w = d.w AND f.pos = d.pos)",
+            f"h{r} AS (SELECT *, coalesce(lag(mrg) OVER (PARTITION BY w ORDER BY pos), FALSE) AS dropped FROM g{r})",
+            f"t{r} AS MATERIALIZED (SELECT w, freq, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, CASE WHEN mrg THEN (SELECT lhs || rhs FROM b{r}) ELSE sym END AS sym FROM h{r} WHERE NOT dropped)",
+        ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r}::INT AS merge_round, lhs, rhs, cnt AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLES["bpe_merges"] = _sql_bpe(BPE_ROUNDS)

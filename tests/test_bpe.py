@@ -1,0 +1,69 @@
+"""Distributed BPE trainer vs a reference python implementation."""
+
+import re
+from collections import Counter
+
+from fog_spark.datapipe.bpe import apply_merge, bpe_train, word_symbols
+
+
+def _py_bpe(texts, rounds):
+    freq = Counter(t for x in texts for t in re.findall(r"[a-z0-9]+", x.lower()))
+    seqs = {w: [c for c in w] for w in freq}
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt = Counter()
+        for w, f in freq.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        if not cnt:
+            break
+        (lhs, rhs), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, lhs, rhs, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+TEXTS = [
+    "the theme of the weather is the thing",
+    "there then they them the the the",
+    "other ethers gather weather together",
+    "banana bandana banner aaaa aaa",
+]
+
+
+def test_bpe_merge_table_matches_reference(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df, rounds=8).orderBy("merge_round").collect()
+    ]
+    expected, _ = _py_bpe(TEXTS, 8)
+    assert got == expected
+
+
+def test_apply_merge_overlap_runs(spark):
+    """Greedy leftmost on same-symbol runs: aaaa -> aa aa, aaa -> aa a."""
+    df = spark.createDataFrame([(0, "aaaa aaa baa")], ["doc_id", "text"])
+    syms = apply_merge(word_symbols(df), "a", "a")
+    seqs = {}
+    for r in syms.orderBy("w", "pos").collect():
+        seqs.setdefault(r["w"], []).append(r["sym"])
+    assert seqs == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "baa": ["b", "aa"]}
+
+
+def test_apply_merge_no_rematch_within_round(spark):
+    """A symbol formed this round must not chain-merge in the same round."""
+    df = spark.createDataFrame([(0, "ababab")], ["doc_id", "text"])
+    syms = apply_merge(word_symbols(df), "a", "b")
+    got = [r["sym"] for r in syms.orderBy("pos").collect()]
+    assert got == ["ab", "ab", "ab"]
