@@ -4348,3 +4348,43 @@ def _sql_bpe(rounds: int) -> str:
 
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLES["bpe_merges"] = _sql_bpe(BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: 4-clique counting (degree-oriented DAG extension)
+# ---------------------------------------------------------------------------
+
+
+def q_cliques4(spark, sf_dir):
+    """Exact 4-clique total of the order-chain graph
+    (algorithms/triangles.four_clique_total): the degree-oriented
+    triangle stream extended one level — the graphlet-counting pattern
+    one step past the reference's own TODO (triangle counting,
+    /root/reference/TODO.list:17-18)."""
+    from fog_spark.algorithms.triangles import four_clique_total
+
+    return four_clique_total(directed_edges(spark, sf_dir))
+
+
+SQL_CLIQUES4 = f"""
+WITH {DEDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges WHERE src <> dst),
+deg AS (SELECT v, count(*) AS d FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+o AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS lo,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS hi
+  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM o e1 JOIN o e2 ON e2.lo = e1.hi
+  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT count(*)::BIGINT AS n_4cliques
+FROM tri t JOIN o e ON e.lo = t.z
+WHERE EXISTS (SELECT 1 FROM o WHERE lo = t.y AND hi = e.hi)
+  AND EXISTS (SELECT 1 FROM o WHERE lo = t.x AND hi = e.hi)
+"""
+
+QUERIES["cliques4"] = q_cliques4
+ORACLES["cliques4"] = SQL_CLIQUES4

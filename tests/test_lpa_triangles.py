@@ -384,3 +384,37 @@ def test_related_pages_hub_cap(spark):
     star = spark.createDataFrame([(99, i) for i in range(6)], ["src", "dst"])
     assert related_pages(star).count() == 30  # 6 pages x 5 relateds
     assert related_pages(star, max_degree=5).count() == 0
+
+
+def test_four_clique_total_brute_force(spark):
+    import itertools
+
+    from fog_spark.algorithms.triangles import four_clique_total
+
+    g = make_er_graph(n=25, p=0.3, seed=3)
+    pairs = {(int(min(s, t)), int(max(s, t))) for s, t in g.edges if s != t}
+    df = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    adj = {v: set() for v in range(25)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sum(
+        1
+        for q in itertools.combinations(range(25), 4)
+        if all(y in adj[x] for x, y in itertools.combinations(q, 2))
+    )
+    assert four_clique_total(df).collect()[0]["n_4cliques"] == expected
+    assert expected > 0  # fixture sanity: the ER draw actually has 4-cliques
+
+
+def test_four_clique_known_graphs(spark):
+    from fog_spark.algorithms.triangles import four_clique_total
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    assert four_clique_total(
+        spark.createDataFrame(k5, ["src", "dst"])
+    ).collect()[0]["n_4cliques"] == 5  # C(5,4)
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    assert four_clique_total(
+        spark.createDataFrame(c6, ["src", "dst"])
+    ).collect()[0]["n_4cliques"] == 0
