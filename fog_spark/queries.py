@@ -4388,3 +4388,76 @@ WHERE EXISTS (SELECT 1 FROM o WHERE lo = t.y AND hi = e.hi)
 
 QUERIES["cliques4"] = q_cliques4
 ORACLES["cliques4"] = SQL_CLIQUES4
+
+
+# ---------------------------------------------------------------------------
+# round 5: PPR sweep-cut local clustering (Andersen-Chung-Lang)
+# ---------------------------------------------------------------------------
+
+SWEEP_TOPK = 64
+
+
+def q_sweep_cut(spark, sf_dir):
+    """Local cluster around the smallest vertex id of the co-occurrence
+    graph: 3-round single-seed personalized PageRank, then the
+    conductance sweep over the top-64 degree-normalized scores
+    (algorithms/sweep.sweep_cut). Only the PPR touches the full graph;
+    the curve itself is a broadcastable top-K frame."""
+    from fog_spark.algorithms.pagerank import pagerank_personalized
+    from fog_spark.algorithms.sweep import sweep_cut
+    from fog_spark.engine.superstep import vertices_of
+
+    edges = cooccur_edges(spark, sf_dir).persist()
+    verts = vertices_of(edges)
+    seed = verts.orderBy("id").limit(1)
+    ranks, _ = pagerank_personalized(edges, seed, vertices=verts, tol=0.0, max_iters=PPR_ROUNDS)
+    out = sweep_cut(ranks, edges, topk=SWEEP_TOPK)
+    edges.unpersist()
+    return out
+
+
+def _sql_sweep(k: int, topk: int) -> str:
+    ctes = [
+        EDGES_CTE,
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "vd AS (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN deg d USING (id))",
+        "sd AS (SELECT min(id) AS sid FROM verts)",
+        "r0 AS MATERIALIZED (SELECT vd.id, vd.outdeg, "
+        "CASE WHEN vd.id = sd.sid THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS tele, "
+        "CASE WHEN vd.id = sd.sid THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank "
+        "FROM vd, sd)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0.0)::DOUBLE AS dang FROM r{i-1} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT r.id, r.outdeg, r.tele, "
+            f"(1.0::DOUBLE - 0.85::DOUBLE + 0.85::DOUBLE * d.dang) * r.tele "
+            f"+ 0.85::DOUBLE * coalesce(m.s, 0.0::DOUBLE) AS rank "
+            f"FROM r{i-1} r LEFT JOIN (SELECT e.dst, sum(r.rank / r.outdeg) AS s "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.id GROUP BY e.dst) m ON r.id = m.dst, d{i} d)"
+        )
+    ctes += [
+        "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "udeg AS (SELECT id, count(*) AS udeg FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)",
+        "tm AS (SELECT 2 * count(*) AS two_m FROM und)",
+        f"sc AS (SELECT r.id, u.udeg, round(r.rank / u.udeg, 9) AS score FROM r{k} r JOIN udeg u USING (id))",
+        f"top AS MATERIALIZED (SELECT id, udeg, k FROM (SELECT id, udeg, row_number() OVER (ORDER BY score DESC, id) AS k FROM sc) WHERE k <= {topk})",
+        "inter AS (SELECT greatest(ta.k, tb.k) AS k FROM und u JOIN top ta ON ta.id = u.a JOIN top tb ON tb.id = u.b)",
+        "ein AS (SELECT k, count(*) AS e_in FROM inter GROUP BY k)",
+        "curve AS (SELECT t.k, t.id, t.udeg, coalesce(e.e_in, 0) AS e_in FROM top t LEFT JOIN ein e USING (k))",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT k, id, round(\n"
+        "  (sum(udeg - 2 * e_in) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING))::DOUBLE\n"
+        "  / least(sum(udeg) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING),\n"
+        "          two_m - sum(udeg) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)), 6) AS phi_r\n"
+        "FROM curve, tm"
+    )
+
+
+QUERIES["sweep_cut"] = q_sweep_cut
+ORACLES["sweep_cut"] = _sql_sweep(PPR_ROUNDS, SWEEP_TOPK)
