@@ -127,3 +127,41 @@ def bpe_train(
     return spark.createDataFrame(
         learned, "merge_round int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    rounds: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_chars, n_bpe, compression_r): segment every
+    document with the merge rules learned by ``rounds`` training rounds
+    and report the token-level compression (bpe symbols / characters,
+    6-decimal). The encode step never touches raw text again: per-doc
+    stats are the corpus token stream joined against the distinct-word
+    symbol counts — the same reduction that made training scale."""
+    symbols = materialize(word_symbols(docs, id_col, text_col))
+    for _ in range(rounds):
+        best = top_pair(symbols)
+        if best is None:
+            break
+        symbols = materialize(apply_merge(symbols, best[0], best[1]))
+    wcnt = symbols.groupBy("w").agg(F.count(F.lit(1)).alias("nsym"))
+    tok = tokens(docs, id_col, text_col)
+    return (
+        tok.join(wcnt, tok["t"] == wcnt["w"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("t")).alias("n_chars"),
+            F.sum("nsym").alias("n_bpe"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_chars",
+            "n_bpe",
+            F.round(F.col("n_bpe") / F.col("n_chars"), 6).alias("compression_r"),
+        )
+    )

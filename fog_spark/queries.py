@@ -4461,3 +4461,39 @@ def _sql_sweep(k: int, topk: int) -> str:
 
 QUERIES["sweep_cut"] = q_sweep_cut
 ORACLES["sweep_cut"] = _sql_sweep(PPR_ROUNDS, SWEEP_TOPK)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Per-document BPE segmentation stats after the 6 learned merges
+    (datapipe/bpe.bpe_encode_stats): token/char/bpe-symbol counts and
+    the compression ratio. The oracle replays the same 6 training
+    rounds, then aggregates the corpus token stream against the final
+    symbol table."""
+    from fog_spark.datapipe.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_bpe_encode(rounds: int) -> str:
+    base = _sql_bpe(rounds)
+    chain = base[: base.index("\nSELECT 1::INT AS merge_round")]
+    return (
+        chain
+        + f""",
+wcnt AS (SELECT w, count(*) AS nsym FROM t{rounds} GROUP BY w),
+dtok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
+SELECT d.doc_id,
+       count(*) AS n_tokens,
+       sum(length(d.t))::BIGINT AS n_chars,
+       sum(c.nsym)::BIGINT AS n_bpe,
+       round(sum(c.nsym)::DOUBLE / sum(length(d.t)), 6) AS compression_r
+FROM dtok d JOIN wcnt c ON c.w = d.t
+GROUP BY d.doc_id
+"""
+    )
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = _sql_bpe_encode(BPE_ROUNDS)

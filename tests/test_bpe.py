@@ -67,3 +67,23 @@ def test_apply_merge_no_rematch_within_round(spark):
     syms = apply_merge(word_symbols(df), "a", "b")
     got = [r["sym"] for r in syms.orderBy("pos").collect()]
     assert got == ["ab", "ab", "ab"]
+
+
+def test_bpe_encode_stats_matches_reference(spark):
+    from fog_spark.datapipe.bpe import bpe_encode_stats
+
+    df = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
+    _, seqs = _py_bpe(TEXTS, 5)
+    expected = {}
+    for i, x in enumerate(TEXTS):
+        ws = re.findall(r"[a-z0-9]+", x.lower())
+        n_bpe = sum(len(seqs[w]) for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        expected[i] = (len(ws), n_chars, n_bpe, round(n_bpe / n_chars, 6))
+    got = {
+        r["id"]: (r["n_tokens"], r["n_chars"], r["n_bpe"], r["compression_r"])
+        for r in bpe_encode_stats(df, rounds=5).collect()
+    }
+    assert got == expected
+    # merges genuinely compress: every doc needs fewer symbols than chars
+    assert all(v[2] < v[1] for v in got.values())
