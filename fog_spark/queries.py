@@ -4497,3 +4497,40 @@ GROUP BY d.doc_id
 
 QUERIES["bpe_encode"] = q_bpe_encode
 ORACLES["bpe_encode"] = _sql_bpe_encode(BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: embedding hubness (reverse-kNN counts)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_hubness(spark, sf_dir):
+    """Reverse-3NN counts per vector — the standard embedding-space QA
+    metric (hubness: high-dimensional spaces grow 'hub' points that
+    appear in everyone's neighbor lists, Radovanović et al. 2010).
+    Composes the exact top-3 cosine baseline (oracle-scale, like
+    embedding_knn_top3); at corpus scale the same composition runs off
+    the LSH/IVF shortlist instead (embedding_near_dups / ivf_knn)."""
+    knn = q_embedding_knn_top3(spark, sf_dir)
+    counts = knn.groupBy(F.col("nn_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("rknn3")
+    )
+    allv = load(spark, sf_dir, "embeddings").select("vec_id")
+    return allv.join(counts, "vec_id", "left").select(
+        "vec_id", F.coalesce("rknn3", F.lit(0)).cast("long").alias("rknn3")
+    )
+
+
+SQL_EMBEDDING_HUBNESS = SQL_EMBEDDING_KNN_TOP3.replace(
+    "SELECT a_id AS vec_id, rnk, b_id AS nn_id FROM r WHERE rnk <= 3",
+    """t AS (SELECT b_id FROM r WHERE rnk <= 3)
+SELECT e.vec_id, coalesce(c.n, 0)::BIGINT AS rknn3
+FROM embeddings e LEFT JOIN (SELECT b_id, count(*) AS n FROM t GROUP BY b_id) c
+ON c.b_id = e.vec_id""",
+).replace(
+    "r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk FROM p)",
+    "r AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk FROM p),",
+)
+
+QUERIES["embedding_hubness"] = q_embedding_hubness
+ORACLES["embedding_hubness"] = SQL_EMBEDDING_HUBNESS

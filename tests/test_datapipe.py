@@ -498,3 +498,36 @@ def test_kmv_sketches_merge_exactly(spark):
     # and the estimate is in the KMV error envelope of the true count
     true = df.select("v").distinct().count()
     assert abs(merged[0]["estimate"] - true) / true < 0.6
+
+
+def test_embedding_hubness_numpy(spark):
+    """Reverse-3NN counts vs a numpy cosine replay on a small table."""
+    import numpy as np
+
+    from fog_spark.queries import q_embedding_hubness
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    vecs[7] *= 0.0
+    vecs[7] += vecs[:5].mean(axis=0)  # make 7 a deliberate hub
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in vecs]})
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="hub")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    got = {r["vec_id"]: r["rknn3"] for r in q_embedding_hubness(spark, tmp).collect()}
+
+    v = vecs.astype("float64")
+    nrm = np.sqrt((v * v).sum(axis=1))
+    cos = (v @ v.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(cos, -np.inf)
+    counts = {i: 0 for i in range(20)}
+    for a in range(20):
+        order = sorted(range(20), key=lambda b: (-cos[a, b], b))[:3]
+        for b in order:
+            counts[b] += 1
+    assert got == counts
+    assert sum(got.values()) == 60  # 20 queries x 3 neighbors
