@@ -1,0 +1,104 @@
+"""Directed triad census over connected triples (Holland-Leinhardt
+census, Batagelj-Mrvar enumeration).
+
+Every unordered vertex triple with at least two linked dyads is
+enumerated exactly once through the undirected wedge join (a triple
+with k>=2 linked dyads has a 'center' adjacent to both others; DISTINCT
+on the sorted triple collapses the 1 or 3 wedges it generates). Each
+triple's six possible directed edges form a 6-bit code, and its
+isomorphism class is the MINIMUM code over the 6 vertex permutations —
+a closed-form least() of six integers, so NO hand-derived lookup table
+exists to get wrong, and the SQL oracle computes the identical algebra.
+The 13 connected triad types of the classical census are exactly the
+distinct canonical codes that can appear here (the three unlinked
+types — 003/012/102 — have <2 linked dyads and are census arithmetic,
+not enumeration; they are intentionally out of scope).
+
+Bit layout for the sorted triple (x < y < z):
+    1: x->y   2: y->x   4: x->z   8: z->x   16: y->z   32: z->y
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+
+from pyspark.sql import DataFrame, functions as F
+
+# bit index of the directed edge (i, j) between triple positions 0,1,2
+_BIT = {(0, 1): 1, (1, 0): 2, (0, 2): 4, (2, 0): 8, (1, 2): 16, (2, 1): 32}
+
+
+def _perm_exprs():
+    """For each of the 6 permutations, the column expression computing
+    the triple's code after relabeling positions by that permutation."""
+    flags = {b: F.col(f"b{b}") for b in _BIT.values()}
+    exprs = []
+    for perm in permutations(range(3)):
+        total = F.lit(0)
+        for (i, j), bit in _BIT.items():
+            # edge occupying (i, j) after relabeling came from (perm[i], perm[j])
+            total = total + F.when(flags[_BIT[(perm[i], perm[j])]], bit).otherwise(0)
+        exprs.append(total)
+    return exprs
+
+
+def canonical_code_sql(prefix: str = "") -> str:
+    """The identical least()-of-permutations algebra as one SQL scalar
+    over boolean columns b1..b32 (DuckDB oracle twin)."""
+    terms = []
+    for perm in permutations(range(3)):
+        parts = [
+            f"(CASE WHEN {prefix}b{_BIT[(perm[i], perm[j])]} THEN {bit} ELSE 0 END)"
+            for (i, j), bit in _BIT.items()
+        ]
+        terms.append("(" + " + ".join(parts) + ")")
+    return "least(" + ", ".join(terms) + ")"
+
+
+def triad_census(edges: DataFrame) -> DataFrame:
+    """(triad_code, n_triads): canonical-code counts over all triples
+    with >= 2 linked dyads."""
+    d = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = d.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    # wedge through a center: triples with >=2 linked dyads, then the
+    # sorted triple deduplicates multi-center triangles
+    l1 = und.select(F.col("a").alias("m"), F.col("b").alias("p")).unionByName(
+        und.select(F.col("b").alias("m"), F.col("a").alias("p"))
+    )
+    l2 = l1.select(F.col("m"), F.col("p").alias("q"))
+    triples = (
+        l1.join(l2, "m")
+        .where(F.col("p") < F.col("q"))
+        .select(
+            F.least("m", "p", "q").alias("x"),
+            # median of three: max(min(m,p), min(max(m,p), q))
+            F.greatest(F.least("m", "p"), F.least(F.greatest("m", "p"), F.col("q"))).alias("y"),
+            F.greatest("m", "p", "q").alias("z"),
+        )
+        .distinct()
+    )
+    t = triples
+    for bit, (i, j) in {v: k for k, v in _BIT.items()}.items():
+        cols = ["x", "y", "z"]
+        probe = d.select(
+            F.col("src").alias(cols[i] + "_s"), F.col("dst").alias(cols[j] + "_d"), F.lit(True).alias(f"b{bit}")
+        )
+        t = t.join(
+            probe,
+            (F.col(cols[i]) == F.col(cols[i] + "_s")) & (F.col(cols[j]) == F.col(cols[j] + "_d")),
+            "left",
+        ).select("x", "y", "z", *[f"b{k}" for k in _BIT.values() if k <= bit])
+        t = t.withColumn(f"b{bit}", F.coalesce(F.col(f"b{bit}"), F.lit(False)))
+    code = F.least(*_perm_exprs())
+    return (
+        t.select(code.alias("triad_code"))
+        .groupBy("triad_code")
+        .agg(F.count(F.lit(1)).alias("n_triads"))
+    )

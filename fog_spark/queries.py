@@ -4534,3 +4534,52 @@ ON c.b_id = e.vec_id""",
 
 QUERIES["embedding_hubness"] = q_embedding_hubness
 ORACLES["embedding_hubness"] = SQL_EMBEDDING_HUBNESS
+
+
+# ---------------------------------------------------------------------------
+# round 5: triad census (canonical-code classes of connected triads)
+# ---------------------------------------------------------------------------
+
+
+def q_triad_census(spark, sf_dir):
+    """Connected-triad census of the order-chain directed graph
+    (algorithms/triads.triad_census): every triple with >= 2 linked
+    dyads, classified by the permutation-minimal 6-bit edge code — the
+    13 connected Holland-Leinhardt types with no hand-derived lookup
+    table to get wrong (both engines compute the same least()-of-6
+    algebra)."""
+    from fog_spark.algorithms.triads import triad_census
+
+    return triad_census(directed_edges(spark, sf_dir)).select(
+        "triad_code", F.col("n_triads").cast("long").alias("n_triads")
+    )
+
+
+def _sql_triads() -> str:
+    from fog_spark.algorithms.triads import canonical_code_sql
+
+    exists = []
+    for bit, (i, j) in {1: (0, 1), 2: (1, 0), 4: (0, 2), 8: (2, 0), 16: (1, 2), 32: (2, 1)}.items():
+        cols = ["x", "y", "z"]
+        exists.append(
+            f"EXISTS(SELECT 1 FROM dedges WHERE src = t.{cols[i]} AND dst = t.{cols[j]}) AS b{bit}"
+        )
+    return f"""
+WITH {DEDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges),
+l AS (SELECT a AS m, b AS p FROM und UNION ALL SELECT b AS m, a AS p FROM und),
+tr AS (
+  SELECT DISTINCT
+    least(l1.m, l1.p, l2.q) AS x,
+    greatest(least(l1.m, l1.p), least(greatest(l1.m, l1.p), l2.q)) AS y,
+    greatest(l1.m, l1.p, l2.q) AS z
+  FROM l l1 JOIN (SELECT m, p AS q FROM l) l2 ON l2.m = l1.m AND l1.p < l2.q
+),
+f AS (SELECT t.x, t.y, t.z, {', '.join(exists)} FROM tr t)
+SELECT {canonical_code_sql()} AS triad_code, count(*)::BIGINT AS n_triads
+FROM f GROUP BY 1
+"""
+
+
+QUERIES["triad_census"] = q_triad_census
+ORACLES["triad_census"] = _sql_triads()
