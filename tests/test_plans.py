@@ -215,3 +215,53 @@ def test_alias_walk_step_is_point_lookup_join(spark):
         s = line.strip(" :+-")
         if s.startswith("Filter") and "pmod" in s:
             raise AssertionError(f"slot applied as post-join filter: {s[:200]}")
+
+
+def test_packing_offsets_have_no_global_window(spark):
+    """The distributed prefix sum must not funnel the ledger through a
+    single-partition global window: every Window in the plan is
+    partitioned (by pid), and no Exchange SinglePartition feeds it."""
+    from fog_spark.datapipe.packing import document_offsets
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 4 + 1)) for i in range(64)], ["doc_id", "text"]
+    )
+    plan = _plan(document_offsets(docs))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition local cumsum is a window...
+    # ...and every window partitions by the stamped pid
+    for line in plan.splitlines():
+        if "Window [" in line or line.strip().startswith("Window"):
+            assert "pid" in line, line
+
+
+def test_related_pages_plan_has_no_cartesian(spark):
+    from fog_spark.algorithms.linkpred import related_pages
+    from fog_spark.queries import directed_edges
+
+    plan = _plan(related_pages(directed_edges(spark, SF), k=3))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triad_census_plan_has_no_cartesian(spark):
+    from fog_spark.algorithms.triads import triad_census
+    from fog_spark.queries import directed_edges
+
+    plan = _plan(triad_census(directed_edges(spark, SF)))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sweep_cut_full_graph_side_is_distributed(spark):
+    """sweep_cut's only single-partition stages are the <= topk curve
+    windows AFTER the limit; the full-graph joins never cartesian."""
+    from fog_spark.algorithms.sweep import sweep_cut
+    from fog_spark.queries import cooccur_edges
+
+    edges = cooccur_edges(spark, SF)
+    ranks = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", (F.col("id") % 97 / 97.0).alias("rank")
+    )
+    plan = _plan(sweep_cut(ranks, edges, topk=16))
+    assert "CartesianProduct" not in plan
+    # the top-K frame is broadcast into the edge joins, not shuffled
+    assert "BroadcastHashJoin" in plan
