@@ -68,3 +68,40 @@ def influence_spread(
         )
         out = per_seed if out is None else out.unionByName(per_seed)
     return out
+
+
+def percolation_curve(
+    edges: DataFrame,
+    p_nums: list[int],
+    sample: int = 0,
+) -> DataFrame:
+    """(p_num, n_edges, n_components, max_component): bond-percolation
+    robustness readout — at each retention threshold (out of 2^32),
+    keep the hash-activated edge subset (same deterministic md5-fold
+    draws as the cascade sampler) and summarize its weak-component
+    structure. Each level is one hash-min CC fixed point over the
+    surviving subgraph; the curve's rows are driver-scale."""
+    from fog_spark.algorithms.cc import connected_components
+
+    spark = edges.sparkSession
+    out = []
+    for p_num in p_nums:
+        sub = active_edges(edges, sample, p_num)
+        n_edges = sub.count()
+        if n_edges == 0:
+            out.append((p_num, 0, 0, 0))
+            continue
+        comps = connected_components(sub)
+        row = (
+            comps.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("nc"),
+                F.max("n").alias("mx"),
+            )
+            .collect()[0]
+        )
+        out.append((p_num, n_edges, int(row["nc"]), int(row["mx"])))
+    return spark.createDataFrame(
+        out, "p_num long, n_edges long, n_components long, max_component long"
+    )

@@ -4583,3 +4583,50 @@ FROM f GROUP BY 1
 
 QUERIES["triad_census"] = q_triad_census
 ORACLES["triad_census"] = _sql_triads()
+
+
+# ---------------------------------------------------------------------------
+# round 5: bond-percolation robustness curve
+# ---------------------------------------------------------------------------
+
+PERC_PNUMS = [1288490188, 2576980377, 3865470565]  # 0.30 / 0.60 / 0.90 of 2^32
+
+
+def q_percolation(spark, sf_dir):
+    """Robustness curve of the mod-61 order-chain graph under random
+    edge failure (algorithms/cascade.percolation_curve): deterministic
+    md5-fold edge retention at 30/60/90%, weak components per level.
+    The oracle replays each level's exact surviving edge set and a
+    relay-pruned recursive closure."""
+    from fog_spark.algorithms.cascade import percolation_curve
+
+    return percolation_curve(
+        directed_edges(spark, sf_dir, mod=BOWTIE_MOD), PERC_PNUMS
+    )
+
+
+def _sql_percolation(p_nums: list[int]) -> str:
+    hashexpr = _hex_fold_sql("md5(e.src::VARCHAR || '-' || e.dst::VARCHAR || '-0')", 8)
+    levels = []
+    for i, p in enumerate(p_nums):
+        levels.append(
+            f"""a{i} AS MATERIALIZED (SELECT src, dst FROM dedges e WHERE {hashexpr} < {p}),
+s{i} AS (SELECT src, dst FROM a{i} UNION SELECT dst, src FROM a{i}),
+v{i} AS (SELECT DISTINCT src AS id FROM s{i}),
+r{i} AS (
+  SELECT id, id AS comp FROM v{i}
+  UNION
+  SELECT s.dst AS id, r.comp FROM r{i} r JOIN s{i} s ON s.src = r.id
+  WHERE r.comp < s.dst
+),
+c{i} AS (SELECT id, min(comp) AS comp FROM r{i} GROUP BY id),
+g{i} AS (SELECT comp, count(*) AS n FROM c{i} GROUP BY comp),
+o{i} AS (SELECT {p}::BIGINT AS p_num, (SELECT count(*) FROM a{i})::BIGINT AS n_edges,
+                count(*)::BIGINT AS n_components, max(n)::BIGINT AS max_component FROM g{i})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(len(p_nums)))
+    return f"WITH RECURSIVE {_dedges_cte(BOWTIE_MOD)},\n" + ",\n".join(levels) + "\n" + union
+
+
+QUERIES["percolation"] = q_percolation
+ORACLES["percolation"] = _sql_percolation(PERC_PNUMS)

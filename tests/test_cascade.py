@@ -61,3 +61,43 @@ def test_isolated_seed_reaches_itself(spark):
     seeds = spark.createDataFrame([(99,)], ["root"])
     rows = influence_spread(df, seeds, p_num=HASH_DEN, samples=1).collect()
     assert [(r["seed"], r["sample"], r["reach"]) for r in rows] == [(99, 0, 1)]
+
+
+def test_percolation_curve_replay(spark):
+    from fog_spark.algorithms.cascade import percolation_curve
+
+    g = make_er_graph(n=40, p=0.06, seed=12)
+    pairs = sorted({(int(s), int(t)) for s, t in g.edges if s != t})
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    p_nums = [int(0.3 * HASH_DEN), int(0.8 * HASH_DEN), HASH_DEN]
+    got = {
+        r["p_num"]: (r["n_edges"], r["n_components"], r["max_component"])
+        for r in percolation_curve(df, p_nums).collect()
+    }
+    expected = {}
+    for p in p_nums:
+        act = _py_active(pairs, 0, p)
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in act:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        sizes = {}
+        for v in parent:
+            sizes[find(v)] = sizes.get(find(v), 0) + 1
+        expected[p] = (
+            len(act),
+            len(sizes) if act else 0,
+            max(sizes.values()) if act else 0,
+        )
+    assert got == expected
+    # monotone: keeping more edges never shrinks the giant component
+    mx = [got[p][2] for p in p_nums]
+    assert mx == sorted(mx)
