@@ -187,6 +187,36 @@ def _run_app(args, edges: DataFrame, vertices: DataFrame | None, ctx) -> DataFra
             .groupBy("id")
             .agg((F.lit(float(n) / len(roots)) * F.sum("delta")).alias("bc"))
         )
+    if args.app == "triads":
+        from fog_spark.algorithms.triads import triad_census
+
+        return triad_census(edges)
+    if args.app == "percolation":
+        from fog_spark.algorithms.cascade import HASH_DEN, percolation_curve
+
+        p_nums = [int(float(x) * HASH_DEN) for x in (args.probs or "0.3,0.6,0.9").split(",")]
+        return percolation_curve(edges, p_nums)
+    if args.app == "spread":
+        from fog_spark.algorithms.labelspread import label_spreading
+
+        if not args.seeds or ":" not in args.seeds:
+            raise ValueError("--app spread requires --seeds id:label[,id:label...]")
+        rows = [tuple(int(v) for v in kv.split(":")) for kv in args.seeds.split(",")]
+        seed_df = edges.sparkSession.createDataFrame(rows, "id long, label long")
+        return label_spreading(edges, seed_df, rounds=args.niters)
+    if args.app == "sweepcut":
+        from fog_spark.algorithms.pagerank import pagerank_personalized
+        from fog_spark.algorithms.sweep import sweep_cut
+
+        if not args.seeds:
+            raise ValueError("--app sweepcut requires --seeds id")
+        seed_df = edges.sparkSession.createDataFrame(
+            [(int(s),) for s in args.seeds.split(",")], "id long"
+        )
+        ranks, _ = pagerank_personalized(
+            edges, seed_df, vertices, tol=0.0, max_iters=args.niters
+        )
+        return sweep_cut(ranks, edges, topk=args.topk)
     if args.app == "bowtie":
         from fog_spark.algorithms.bowtie import bowtie_decomposition
 
@@ -241,6 +271,10 @@ def _run_table_app(args, spark: SparkSession) -> DataFrame:
             right_ts=args.ts_col,
             tolerance_s=args.tolerance,
         )
+    if args.app == "bpe":
+        from fog_spark.datapipe.bpe import bpe_train
+
+        return bpe_train(spark.read.parquet(args.graph), rounds=args.niters)
     if args.app == "pack":
         from fog_spark.datapipe.packing import pack_documents
 
@@ -258,7 +292,7 @@ def _run_table_app(args, spark: SparkSession) -> DataFrame:
     raise ValueError(f"unknown table app {args.app}")
 
 
-TABLE_APPS = ("tfidf", "asof", "dedup", "pack")
+TABLE_APPS = ("tfidf", "asof", "dedup", "pack", "bpe")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -272,8 +306,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["pagerank", "cc", "scc", "bfs", "sssp", "lpa", "triangles", "spmv",
                  "kcore", "hits", "walks", "node2vec", "ppr", "msbfs", "linkpred",
                  "msf", "louvain", "betweenness", "ktruss", "coreness", "mis", "katz",
-                 "bowtie", "related", "influence",
-                 "tfidf", "asof", "dedup", "pack"],
+                 "bowtie", "related", "influence", "triads", "percolation",
+                 "spread", "sweepcut",
+                 "tfidf", "asof", "dedup", "pack", "bpe"],
     )
     p.add_argument("--mode", choices=["fog", "standard"], default="fog", help="pagerank mode")
     p.add_argument("--niters", "-i", type=int, default=10, help="fixed iterations (fog mode / lpa)")
@@ -307,6 +342,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prob", type=float, default=0.3, help="influence: per-edge activation probability")
     p.add_argument("--samples", type=int, default=3, help="influence: deterministic cascade samples")
     p.add_argument("--window", type=int, default=512, help="pack: context window size in tokens")
+    p.add_argument("--probs", default=None, help="percolation: comma-separated retention probabilities")
     p.add_argument("--minhash-k", type=int, default=16, help="dedup: minhash signature size")
     p.add_argument("--bands", type=int, default=4, help="dedup: LSH bands (rows = k/bands)")
     p.add_argument("--threshold", type=float, default=0.8,

@@ -358,3 +358,49 @@ def test_cli_pack(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     # corpus = 3 + 4 tokens; windows of 4: doc1[0:3], doc3[0:1] fill bin 0, doc3[1:4] bin 1
     assert got == [(0, 1, 0, 0, 3), (0, 3, 0, 3, 1), (1, 3, 1, 0, 3)]
+
+
+def test_cli_round5_apps(spark, tmp_path):
+    g = named_graphs()["g_er_n100"]
+    path = _write_edgelist(tmp_path, g)
+    from fog_spark.sources.edgelist import read_edgelist
+
+    out = str(tmp_path / "tc")
+    assert main(["--graph", path, "--app", "triads", "--out", out], spark=spark) == 0
+    from fog_spark.algorithms.triads import triad_census
+
+    expect = sorted(map(tuple, triad_census(read_edgelist(spark, path)).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == expect
+
+    out2 = str(tmp_path / "sp")
+    assert main(
+        ["--graph", path, "--app", "spread", "--seeds", "0:7,5:9", "--niters", "2", "--out", out2],
+        spark=spark,
+    ) == 0
+    from fog_spark.algorithms.labelspread import label_spreading
+
+    sdf = spark.createDataFrame([(0, 7), (5, 9)], "id long, label long")
+    expect2 = sorted(map(tuple, label_spreading(read_edgelist(spark, path), sdf, rounds=2).collect()))
+    assert sorted(map(tuple, spark.read.parquet(out2).collect())) == expect2
+
+    out3 = str(tmp_path / "pc")
+    assert main(
+        ["--graph", path, "--app", "percolation", "--probs", "0.5,1.0", "--out", out3],
+        spark=spark,
+    ) == 0
+    assert spark.read.parquet(out3).count() == 2
+
+
+def test_cli_bpe_app(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": ["aa ab aab", "ab ab aa"]})
+    dpath = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(dpath)
+    out = str(tmp_path / "bpe")
+    assert main(
+        ["--graph", dpath, "--format", "parquet", "--app", "bpe", "--niters", "2", "--out", out],
+        spark=spark,
+    ) == 0
+    rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert len(rows) == 2 and rows[0][0] == 1
