@@ -4630,3 +4630,43 @@ o{i} AS (SELECT {p}::BIGINT AS p_num, (SELECT count(*) FROM a{i})::BIGINT AS n_e
 
 QUERIES["percolation"] = q_percolation
 ORACLES["percolation"] = _sql_percolation(PERC_PNUMS)
+
+
+# ---------------------------------------------------------------------------
+# round 5: WCC size histogram (Broder-style component distribution)
+# ---------------------------------------------------------------------------
+
+
+def q_wcc_sizes(spark, sf_dir):
+    """Component-size histogram of the mod-61 order-chain graph
+    (n_components per size) — the classic web-graph readout paired
+    with the bowtie regions (Broder et al. 2000 fig. 5): one hash-min
+    CC fixed point, two aggregates."""
+    from fog_spark.algorithms.cc import connected_components
+
+    comps = connected_components(directed_edges(spark, sf_dir, mod=BOWTIE_MOD))
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
+
+
+SQL_WCC_SIZES = f"""
+WITH RECURSIVE {_dedges_cte(BOWTIE_MOD)},
+sym AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+r AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT s.dst AS id, r.comp FROM r JOIN sym s ON s.src = r.id
+  WHERE r.comp < s.dst
+),
+c AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+g AS (SELECT comp, count(*) AS size FROM c GROUP BY comp)
+SELECT size, count(*)::BIGINT AS n_components FROM g GROUP BY size
+"""
+
+QUERIES["wcc_sizes"] = q_wcc_sizes
+ORACLES["wcc_sizes"] = SQL_WCC_SIZES
