@@ -4670,3 +4670,100 @@ SELECT size, count(*)::BIGINT AS n_components FROM g GROUP BY size
 
 QUERIES["wcc_sizes"] = q_wcc_sizes
 ORACLES["wcc_sizes"] = SQL_WCC_SIZES
+
+
+# ---------------------------------------------------------------------------
+# round 5: the north-star derivation itself, oracled — repos table -> edges
+# ---------------------------------------------------------------------------
+
+
+def repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-repository table in the north_rule's input
+    shape (repo, path, commit, lang, content), synthesized as a pure
+    function of documents.doc_id: file f<i> lives in repo r<i%7> and
+    imports f<i+7>, f<i+14>, f<i+21> (same residue class = same repo;
+    out-of-range targets exercise unresolved-reference dropping)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    mk = lambda off: F.concat(F.lit("f"), (F.col("doc_id") + off).cast("string"))  # noqa: E731
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("import "), mk(7)),
+        F.lit("# deterministic synthetic source"),
+        F.concat(F.lit("from "), mk(14), F.lit(" import thing")),
+        F.concat(F.lit("import "), mk(21)),
+    )
+    return d.select(
+        F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        F.md5(F.col("doc_id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_repo_graph(spark, sf_dir):
+    """The north-star convert replacement END-TO-END, oracled: the
+    synthetic (repo, path, commit, lang, content) table through
+    graph/derive.derive_graph — real regex import extraction (both
+    ``import x`` and ``from x import`` groups), dense-id assignment via
+    the distributed prefix sum, reference resolution joins, the
+    deterministic weight. The oracle replays the SYNTHESIS INTENT
+    directly (it knows which imports were planted), so any divergence
+    in the extraction/resolution pipeline fails the gate."""
+    from fog_spark.graph.derive import derive_graph
+
+    g = derive_graph(repo_table(spark, sf_dir))
+    return g.edges.select("src", "dst", "weight")
+
+
+SQL_REPO_GRAPH = """
+WITH rt AS (
+  SELECT doc_id, 'r' || (doc_id % 7)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.py' AS path
+  FROM documents
+),
+files AS (
+  SELECT repo, path, row_number() OVER (ORDER BY repo, path) - 1 AS id
+  FROM (SELECT DISTINCT repo, path FROM rt)
+),
+refs AS (
+  SELECT repo, path, 'src/f' || (doc_id + 7)::VARCHAR || '.py' AS dst_path FROM rt
+  UNION ALL
+  SELECT repo, path, 'src/f' || (doc_id + 14)::VARCHAR || '.py' FROM rt
+  UNION ALL
+  SELECT repo, path, 'src/f' || (doc_id + 21)::VARCHAR || '.py' FROM rt
+)
+SELECT DISTINCT s.id AS src, d.id AS dst,
+       ((s.id * 31 + d.id) % 90 + 10) / 10.0 AS weight
+FROM refs r
+JOIN files s ON s.repo = r.repo AND s.path = r.path
+JOIN files d ON d.repo = r.repo AND d.path = r.dst_path
+"""
+
+QUERIES["repo_graph"] = q_repo_graph
+ORACLES["repo_graph"] = SQL_REPO_GRAPH
+
+
+def q_repo_sha(spark, sf_dir):
+    """The input_hint's per-row invariant made driver-visible: every
+    synthesized repo row's sha256(content) (graph/derive.with_content_sha,
+    Spark built-in sha2) vs DuckDB's native sha256 over the identically
+    synthesized content — byte-for-byte content equality across engines
+    is a precondition of every hash equality above."""
+    from fog_spark.graph.derive import with_content_sha
+
+    return with_content_sha(repo_table(spark, sf_dir)).select("repo", "path", "content_sha")
+
+
+SQL_REPO_SHA = """
+SELECT 'r' || (doc_id % 7)::VARCHAR AS repo,
+       'src/f' || doc_id::VARCHAR || '.py' AS path,
+       sha256('import f' || (doc_id + 7)::VARCHAR
+              || chr(10) || '# deterministic synthetic source'
+              || chr(10) || 'from f' || (doc_id + 14)::VARCHAR || ' import thing'
+              || chr(10) || 'import f' || (doc_id + 21)::VARCHAR) AS content_sha
+FROM documents
+"""
+
+QUERIES["repo_sha"] = q_repo_sha
+ORACLES["repo_sha"] = SQL_REPO_SHA
