@@ -4767,3 +4767,48 @@ FROM documents
 
 QUERIES["repo_sha"] = q_repo_sha
 ORACLES["repo_sha"] = SQL_REPO_SHA
+
+
+def q_knn_degree(spark, sf_dir):
+    """Degree-correlation curve k -> <k_nn> (average neighbor degree per
+    degree class, Pastor-Satorras et al. 2001) on the symmetrized
+    order-chain graph: the standard assortative/disassortative readout
+    behind graph_stats' single assortativity coefficient. One edge join
+    + two aggregates; 6-decimal rounding for cross-engine ranking."""
+    ded = directed_edges(spark, sf_dir)
+    sym = (
+        ded.select("src", "dst")
+        .unionByName(ded.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    ann = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        .groupBy("src", "sdeg")
+        .agg(F.avg("ddeg").alias("ann"))
+    )
+    return (
+        ann.groupBy(F.col("sdeg").alias("deg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg("ann"), 6).alias("knn_r"),
+        )
+    )
+
+
+SQL_KNN_DEGREE = f"""
+WITH {DEDGES_CTE},
+sym AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges)),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+ann AS (
+  SELECT s.src, ds.deg AS sdeg, avg(dd.deg) AS ann
+  FROM sym s JOIN deg ds ON ds.id = s.src JOIN deg dd ON dd.id = s.dst
+  GROUP BY s.src, ds.deg
+)
+SELECT sdeg AS deg, count(*)::BIGINT AS n_vertices, round(avg(ann), 6) AS knn_r
+FROM ann GROUP BY sdeg
+"""
+
+QUERIES["knn_degree"] = q_knn_degree
+ORACLES["knn_degree"] = SQL_KNN_DEGREE
