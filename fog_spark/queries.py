@@ -4812,3 +4812,87 @@ FROM ann GROUP BY sdeg
 
 QUERIES["knn_degree"] = q_knn_degree
 ORACLES["knn_degree"] = SQL_KNN_DEGREE
+
+
+def q_repo_pagerank_top(spark, sf_dir):
+    """The complete north-star pipeline as ONE oracled query: synthetic
+    repos table -> derive_graph (regex extraction, dense ids,
+    resolution) -> 3 rounds of FOG-mode PageRank -> top-3 files per
+    repository (ranked on round(rank,5), path tie-break). Everything
+    the north_rule names, end to end, hash-checked against the SQL
+    replay."""
+    from fog_spark.graph.derive import derive_graph
+
+    g = derive_graph(repo_table(spark, sf_dir))
+    edges = g.edges.select("src", "dst").persist()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    state = deg.withColumn("rank", F.lit(1.0))
+    for _ in range(PR_ROUNDS):
+        msgs = edges.join(state, edges["src"] == state["id"]).select(
+            edges["dst"], (0.85 * F.col("rank") / F.col("outdeg") + 0.15).alias("m")
+        )
+        agg = msgs.groupBy("dst").agg(F.sum("m").alias("s"))
+        state = state.join(agg, state["id"] == agg["dst"], "left").select(
+            "id", "outdeg", (F.col("rank") + F.coalesce("s", F.lit(0.0))).alias("rank")
+        )
+        state = materialize(state)
+    edges.unpersist()
+    fx = g.files.select(F.col("id").alias("fid"), "repo", "path")
+    ranked = state.join(fx, state["id"] == fx["fid"]).select(
+        "repo", "path", F.round("rank", 5).alias("rank_r")
+    )
+    w = Window.partitionBy("repo").orderBy(F.desc("rank_r"), F.asc("path"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("repo", "path", "rank_r", "rk")
+    )
+
+
+def _sql_repo_pagerank(k: int) -> str:
+    ctes = [
+        """rt AS (
+  SELECT doc_id, 'r' || (doc_id % 7)::VARCHAR AS repo,
+         'src/f' || doc_id::VARCHAR || '.py' AS path
+  FROM documents
+),
+files AS (
+  SELECT repo, path, row_number() OVER (ORDER BY repo, path) - 1 AS id
+  FROM (SELECT DISTINCT repo, path FROM rt)
+),
+refs AS (
+  SELECT repo, path, 'src/f' || (doc_id + 7)::VARCHAR || '.py' AS dst_path FROM rt
+  UNION ALL
+  SELECT repo, path, 'src/f' || (doc_id + 14)::VARCHAR || '.py' FROM rt
+  UNION ALL
+  SELECT repo, path, 'src/f' || (doc_id + 21)::VARCHAR || '.py' FROM rt
+),
+redges AS MATERIALIZED (
+  SELECT DISTINCT s.id AS src, d.id AS dst
+  FROM refs r
+  JOIN files s ON s.repo = r.repo AND s.path = r.path
+  JOIN files d ON d.repo = r.repo AND d.path = r.dst_path
+),
+rdeg AS (SELECT src AS id, count(*) AS outdeg FROM redges GROUP BY src),
+p0 AS MATERIALIZED (SELECT id, outdeg, 1.0 AS rank FROM rdeg)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT r.id, r.outdeg, r.rank + coalesce(m.s, 0) AS rank "
+            f"FROM p{i-1} r LEFT JOIN (SELECT e.dst, sum(0.85 * r.rank / r.outdeg + 0.15) AS s "
+            f"FROM redges e JOIN p{i-1} r ON e.src = r.id GROUP BY e.dst) m ON r.id = m.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+ranked AS (
+  SELECT f.repo, f.path, round(p.rank, 5) AS rank_r,
+         row_number() OVER (PARTITION BY f.repo ORDER BY round(p.rank, 5) DESC, f.path ASC) AS rk
+  FROM p{k} p JOIN files f ON f.id = p.id
+)
+SELECT repo, path, rank_r, rk FROM ranked WHERE rk <= 3
+"""
+    )
+
+
+QUERIES["repo_pagerank_top"] = q_repo_pagerank_top
+ORACLES["repo_pagerank_top"] = _sql_repo_pagerank(PR_ROUNDS)
