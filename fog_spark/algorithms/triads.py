@@ -102,3 +102,76 @@ def triad_census(edges: DataFrame) -> DataFrame:
         .groupBy("triad_code")
         .agg(F.count(F.lit(1)).alias("n_triads"))
     )
+
+
+def triad_census_full(edges: DataFrame) -> DataFrame:
+    """(triad_code, n_triads) over ALL vertex triples — the complete
+    16-type Holland-Leinhardt census. The 13 connected classes come
+    from ``triad_census``'s enumeration; the three unlinked classes are
+    exact census arithmetic, never enumerated:
+
+        code 3 (mutual dyad + isolate, '102')     per mutual dyad (a,b):
+        code 1 (asym dyad + isolate, '012')       per asym dyad:
+            n - 2 - |N(a) ∪ N(b) \\ {a,b}|   isolates, where the union
+            size is deg(a) + deg(b) - common(a,b) - 2 on the undirected
+            link graph (b ∈ N(a) and a ∈ N(b) always, never in the
+            intersection — no self loops);
+        code 0 (empty, '003') = C(n,3) minus everything else.
+
+    The per-dyad common-neighbor count is one wedge join — the same
+    O(sum deg^2) shape as the connected enumeration, nothing heavier.
+    """
+    spark = edges.sparkSession
+    connected = triad_census(edges).localCheckpoint(eager=False)
+
+    d = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct() \
+        .localCheckpoint(eager=False)
+    und = d.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("v")).unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # common neighbors per linked dyad: the undirected wedge join
+    l = und.select(F.col("a").alias("m"), F.col("b").alias("p")).unionByName(
+        und.select(F.col("b").alias("m"), F.col("a").alias("p"))
+    )
+    wedge = (
+        l.join(l.select(F.col("m"), F.col("p").alias("q")), "m")
+        .where(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("a"), F.col("q").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # mutual iff both directions present in the simple directed graph
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = d.join(rev, ["src", "dst"], "left_semi").select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).where(F.col("a") < F.col("b"))
+    dyads = (
+        und.join(mutual.withColumn("mut", F.lit(True)), ["a", "b"], "left")
+        .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .join(wedge, ["a", "b"], "left")
+        .select(
+            F.coalesce("mut", F.lit(False)).alias("mut"),
+            (F.col("da") + F.col("db") - F.coalesce("common", F.lit(0)) - 2).alias("linked_thirds"),
+        )
+    )
+    n = und.select(F.col("a").alias("v")).unionByName(
+        und.select(F.col("b").alias("v"))
+    ).distinct().count()
+    iso = dyads.groupBy("mut").agg(
+        F.sum(F.lit(n) - 2 - F.col("linked_thirds")).alias("cnt"),
+        F.count(F.lit(1)).alias("n_dyads"),
+    )
+    rows = {r["mut"]: (int(r["cnt"]), int(r["n_dyads"])) for r in iso.collect()}
+    n102, n_mut = rows.get(True, (0, 0))
+    n012, n_asym = rows.get(False, (0, 0))
+    conn_rows = [(int(r["triad_code"]), int(r["n_triads"])) for r in connected.collect()]
+    total = n * (n - 1) * (n - 2) // 6
+    n003 = total - sum(c for _, c in conn_rows) - n102 - n012
+    out = conn_rows + [(3, n102), (1, n012), (0, n003)]
+    return spark.createDataFrame(
+        [(c, x) for c, x in out if x > 0], "triad_code int, n_triads long"
+    )

@@ -4896,3 +4896,59 @@ SELECT repo, path, rank_r, rk FROM ranked WHERE rk <= 3
 
 QUERIES["repo_pagerank_top"] = q_repo_pagerank_top
 ORACLES["repo_pagerank_top"] = _sql_repo_pagerank(PR_ROUNDS)
+
+
+def q_triad_full(spark, sf_dir):
+    """The COMPLETE 16-type Holland-Leinhardt triad census
+    (algorithms/triads.triad_census_full): connected classes by
+    enumeration, the three unlinked classes (mutual/asym dyad +
+    isolate, empty) by exact census arithmetic over dyad counts and
+    per-dyad neighborhood unions — no O(n^3) anywhere."""
+    from fog_spark.algorithms.triads import triad_census_full
+
+    return triad_census_full(directed_edges(spark, sf_dir))
+
+
+def _sql_triad_full() -> str:
+    from fog_spark.algorithms.triads import canonical_code_sql
+
+    base = _sql_triads()
+    chain = base[: base.index("\nSELECT ")]
+    return (
+        chain
+        + f""",
+conn AS (SELECT {canonical_code_sql()} AS triad_code, count(*) AS n_triads FROM f GROUP BY 1),
+deg AS (SELECT v, count(*) AS deg FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+wedgec AS (
+  SELECT l1.p AS a, l2.q AS b, count(*) AS common
+  FROM l l1 JOIN (SELECT m, p AS q FROM l) l2 ON l2.m = l1.m AND l1.p < l2.q
+  GROUP BY 1, 2
+),
+mut AS (SELECT e.src AS a, e.dst AS b FROM dedges e
+        JOIN dedges r ON r.src = e.dst AND r.dst = e.src WHERE e.src < e.dst),
+dy AS (
+  SELECT (m.a IS NOT NULL) AS mut,
+         da.deg + db.deg - coalesce(w.common, 0) - 2 AS lt
+  FROM und u
+  LEFT JOIN mut m ON m.a = u.a AND m.b = u.b
+  JOIN deg da ON da.v = u.a
+  JOIN deg db ON db.v = u.b
+  LEFT JOIN wedgec w ON w.a = u.a AND w.b = u.b
+),
+nv AS (SELECT count(*) AS n FROM (SELECT DISTINCT a AS v FROM und UNION SELECT b FROM und)),
+iso AS (SELECT mut, sum(n - 2 - lt) AS cnt FROM dy, nv GROUP BY mut),
+contot AS (SELECT coalesce(sum(n_triads), 0) AS c FROM conn),
+isotot AS (SELECT coalesce(sum(cnt), 0) AS i FROM iso),
+alltot AS (SELECT n * (n - 1) * (n - 2) // 6 AS t FROM nv)
+SELECT triad_code::INT AS triad_code, n_triads::BIGINT AS n_triads FROM (
+  SELECT triad_code, n_triads FROM conn
+  UNION ALL SELECT 3, cnt FROM iso WHERE mut
+  UNION ALL SELECT 1, cnt FROM iso WHERE NOT mut
+  UNION ALL SELECT 0, t - c - i FROM alltot, contot, isotot
+) WHERE n_triads > 0
+"""
+    )
+
+
+QUERIES["triad_full"] = q_triad_full
+ORACLES["triad_full"] = _sql_triad_full()

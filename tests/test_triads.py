@@ -65,3 +65,43 @@ def test_triad_classes_cap(spark):
     got = _run(spark, pairs)
     assert got == _py_census(pairs)
     assert len(got) <= 13
+
+
+def _py_census_full(pairs):
+    es = {(int(s), int(t)) for s, t in pairs if s != t}
+    verts = sorted({v for e in es for v in e})
+    counts: dict[int, int] = {}
+    for x, y, z in itertools.combinations(verts, 3):
+        tri = (x, y, z)
+        best = None
+        for perm in itertools.permutations(range(3)):
+            code = 0
+            for (i, j), bit in _BIT.items():
+                if (tri[perm[i]], tri[perm[j]]) in es:
+                    code += bit
+            best = code if best is None else min(best, code)
+        counts[best] = counts.get(best, 0) + 1
+    return {c: n for c, n in counts.items() if n > 0}
+
+
+def test_triad_census_full_er(spark):
+    from fog_spark.algorithms.triads import triad_census_full
+
+    g = make_er_graph(n=16, p=0.12, seed=4)
+    pairs = [(int(s), int(t)) for s, t in g.edges if s != t]
+    df = spark.createDataFrame(sorted(set(pairs)), ["src", "dst"])
+    got = {r["triad_code"]: r["n_triads"] for r in triad_census_full(df).collect()}
+    expected = _py_census_full(pairs)
+    assert got == expected
+    assert 0 in expected and 1 in expected  # empties and asym-dyad triads present
+    n = len({v for e in set(pairs) for v in e})
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+def test_triad_census_full_with_mutuals(spark):
+    from fog_spark.algorithms.triads import triad_census_full
+
+    pairs = [(0, 1), (1, 0), (2, 3), (3, 4), (4, 3), (5, 0)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["triad_code"]: r["n_triads"] for r in triad_census_full(df).collect()}
+    assert got == _py_census_full(pairs)
