@@ -4952,3 +4952,40 @@ SELECT triad_code::INT AS triad_code, n_triads::BIGINT AS n_triads FROM (
 
 QUERIES["triad_full"] = q_triad_full
 ORACLES["triad_full"] = _sql_triad_full()
+
+
+def q_event_bursts(spark, sf_dir):
+    """Activity-burst detection per user (Kleinberg-style rate anomaly,
+    integer-exact): hourly event counts; an hour bursts when its count
+    exceeds 1.5x the user's average active-hour rate — compared by
+    integer cross-multiplication (2 * cnt * n_hours > 3 * total), so
+    the oracle replays with zero float risk — with a floor of 3 events
+    (the synthetic feed is thin: hourly counts top out at ~3, so the
+    threshold is calibrated to fire on its true hot hours)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h")
+    )
+    cnts = ev.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_hours")
+    )
+    return (
+        cnts.join(tot, "user_id")
+        .where((2 * F.col("cnt") * F.col("n_hours") > 3 * F.col("total")) & (F.col("cnt") >= 3))
+        .select("user_id", F.col("h").alias("hour_epoch"), F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+SQL_EVENT_BURSTS = """
+WITH c AS (
+  SELECT user_id, epoch(date_trunc('hour', ts))::BIGINT AS h, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(cnt) AS total, count(*) AS n_hours FROM c GROUP BY user_id)
+SELECT c.user_id, c.h AS hour_epoch, c.cnt::BIGINT AS cnt
+FROM c JOIN t USING (user_id)
+WHERE 2 * c.cnt * t.n_hours > 3 * t.total AND c.cnt >= 3
+"""
+
+QUERIES["event_bursts"] = q_event_bursts
+ORACLES["event_bursts"] = SQL_EVENT_BURSTS
