@@ -418,3 +418,26 @@ def test_four_clique_known_graphs(spark):
     assert four_clique_total(
         spark.createDataFrame(c6, ["src", "dst"])
     ).collect()[0]["n_4cliques"] == 0
+
+
+def test_knn_degree_hand_graph(spark):
+    """knn(k) curve on a star + triangle, against hand arithmetic."""
+    from pyspark.sql import functions as F
+
+    und = [(0, i) for i in range(1, 6)] + [(10, 11), (10, 12), (11, 12)]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sorted(sym), ["src", "dst"])
+    deg = df.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    ann = (
+        df.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        .groupBy("src", "sdeg")
+        .agg(F.avg("ddeg").alias("ann"))
+    )
+    curve = {
+        r["deg"]: (r["n"], r["knn"])
+        for r in ann.groupBy(F.col("sdeg").alias("deg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("ann"), 6).alias("knn"))
+        .collect()
+    }
+    assert curve == {1: (5, 5.0), 5: (1, 1.0), 2: (3, 2.0)}
