@@ -4989,3 +4989,78 @@ WHERE 2 * c.cnt * t.n_hours > 3 * t.total AND c.cnt >= 3
 
 QUERIES["event_bursts"] = q_event_bursts
 ORACLES["event_bursts"] = SQL_EVENT_BURSTS
+
+
+# ---------------------------------------------------------------------------
+# round 5: PMI token-pair association (corpus collocation mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 20
+PMI_TOPK = 50
+
+
+def q_token_pmi(spark, sf_dir):
+    """Top-50 token collocations by pointwise mutual information over
+    document co-occurrence (distinct tokens per doc; pairs generated
+    ONLY through the shared document — the wedge-join shape again —
+    with a min pair count of 20 pruning the long tail map-side).
+    pmi_r = round(ln(n_pairs_universe * c_ab / (c_a * c_b)), 6) with
+    ranking on the rounded value, pair ids as tie-break."""
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "t").distinct()
+    n_docs = tok.select("doc_id").distinct().count()
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    a = tok.select("doc_id", F.col("t").alias("ta"))
+    b = tok.select("doc_id", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(cnt.select(F.col("t").alias("ta"), F.col("c").alias("ca")), "ta")
+        .join(cnt.select(F.col("t").alias("tb"), F.col("c").alias("cb")), "tb")
+        .select(
+            "ta", "tb", F.col("cab").cast("long").alias("cab"),
+            F.round(
+                F.log(F.lit(float(n_docs)) * F.col("cab") / (F.col("ca") * F.col("cb"))), 6
+            ).alias("pmi_r"),
+        )
+    )
+    # TakeOrdered first (distributed top-K), THEN the rank window over
+    # the <= K survivors — the global row_number never sees the full
+    # candidate set (the sweep_cut discipline)
+    top = scored.orderBy(F.desc("pmi_r"), F.asc("ta"), F.asc("tb")).limit(PMI_TOPK)
+    w = Window.orderBy(F.desc("pmi_r"), F.asc("ta"), F.asc("tb"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "ta", "tb", "cab", "pmi_r"
+    )
+
+
+SQL_TOKEN_PMI = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS cab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR}
+),
+scored AS (
+  SELECT ta, tb, cab::BIGINT AS cab,
+         round(ln(nd.n::DOUBLE * cab / (ca.c * cb.c)), 6) AS pmi_r
+  FROM pairs
+  JOIN cnt ca ON ca.t = ta
+  JOIN cnt cb ON cb.t = tb, nd
+)
+SELECT rk::INT AS rk, ta, tb, cab, pmi_r FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi_r DESC, ta ASC, tb ASC) AS rk FROM scored
+) WHERE rk <= {PMI_TOPK}
+"""
+
+QUERIES["token_pmi"] = q_token_pmi
+ORACLES["token_pmi"] = SQL_TOKEN_PMI
