@@ -19,11 +19,13 @@ and bottom-k sketches are mergeable under exactly that union
 carries ≤ k hashes per vertex no matter how large the balls grow.
 
 Plan shape per round: ONE gather join (edges ⋈ state on dst → src) +
-ONE groupBy whose merge is flatten/array_distinct/array_sort/slice —
-all JVM built-ins inside whole-stage codegen, no Python. State is |V|
-rows × ≤ k longs; at 10^12 edges each round is one keyed shuffle of
-bounded-width rows and the agg does map-side partial merging like any
-associative aggregate. Reference parity: FOG has no sketch operator —
+the bounded bottom-k merge (_bounded_bottom_k_merge): explode →
+distinct → row_number <= k → reassemble, all JVM built-ins, no Python,
+and — the scale property — O(k) per-group state in every operator.
+State is |V| rows × ≤ k longs; at 10^12 edges each round is two keyed
+narrow-row shuffles whose dedup aggregate does real map-side combining
+(the earlier flatten/collect_list merge concentrated deg × k hashes in
+a single aggregation buffer — an executor-OOM shape on hub vertices). Reference parity: FOG has no sketch operator —
 this extends its per-vertex iterate-until-radius loop (the same
 scatter/gather shape as application/bfs.hpp) to cardinality sketches.
 
@@ -36,7 +38,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fog_spark.datapipe.sketches import _KMV_BITS, _kmv_hash
 from fog_spark.engine.superstep import materialize, materialize_observed, vertices_of
@@ -44,10 +46,35 @@ from fog_spark.engine.superstep import materialize, materialize_observed, vertic
 
 def _merged_bottom_k(k: int):
     """groupBy-agg expression: union the group's sketches, keep the k
-    smallest hashes (ascending) — the KMV merge."""
+    smallest hashes (ascending) — the KMV merge.
+
+    WARNING — unbounded aggregation buffer: collect_list partials
+    concatenate (they cannot truncate), so one vertex with in-degree d
+    holds d*k hashes in a single buffer before the slice. Kept only for
+    the parity test; the live loops use ``_bounded_bottom_k_merge``."""
     return F.slice(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("hvs")))), 1, k
     )
+
+
+def _bounded_bottom_k_merge(unioned: DataFrame, k: int) -> DataFrame:
+    """(id, hvs): bottom-k merge of all ``hvs`` arrays per id with O(k)
+    per-group state everywhere — the scale-safe KMV merge.
+
+    explode to (id, h) → distinct (hash-aggregate with FIXED-size
+    buffers and real map-side combining) → row_number <= k per id
+    ascending (streaming over the sort, O(1) state) → re-assemble (the
+    final collect_list sees at most k rows per group). Identical result
+    to ``_merged_bottom_k``; unlike it, no aggregation buffer ever holds
+    more than one row's worth of state, so a 10^6-in-degree hub costs
+    the same per-task memory as a leaf (the flatten/collect_list form
+    materializes deg*k hashes in ONE buffer — executor-OOM at scale).
+    The window's groupBy reuses the window exchange's hash(id)
+    clustering, so the merge is two narrow-row exchanges per round."""
+    pairs = unioned.select("id", F.explode("hvs").alias("h")).distinct()
+    w = Window.partitionBy("id").orderBy("h")
+    ranked = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    return ranked.groupBy("id").agg(F.array_sort(F.collect_list("h")).alias("hvs"))
 
 
 def estimate_from_sketch(k: int):
@@ -100,9 +127,7 @@ def neighborhood_sketches(
         contrib = fwd.join(state, fwd["dst"] == state["id"]).select(
             fwd["src"].alias("id"), "hvs"
         )
-        merged = state.unionByName(contrib).groupBy("id").agg(
-            _merged_bottom_k(k).alias("hvs")
-        )
+        merged = _bounded_bottom_k_merge(state.unionByName(contrib), k)
         # total sketch mass rides the materialize job: the ANF curve
         # N(r) ~ Σ_v |sketch| saturates exactly when the balls do
         state, om = materialize_observed(
@@ -161,9 +186,7 @@ def anf_curve(edges: DataFrame, radius: int, k: int = 16) -> DataFrame:
         contrib = fwd.join(state, fwd["dst"] == state["id"]).select(
             fwd["src"].alias("id"), "hvs"
         )
-        merged = state.unionByName(contrib).groupBy("id").agg(
-            _merged_bottom_k(k).alias("hvs")
-        )
+        merged = _bounded_bottom_k_merge(state.unionByName(contrib), k)
         state = materialize(merged, None, r)
         states.append((r, state))
 

@@ -36,7 +36,6 @@ from fog_spark.engine.superstep import (
     maybe_broadcast,
     prepare_gather_edges,
     symmetrize,
-    vertices_of,
     with_frontier_hint,
 )
 
@@ -66,7 +65,6 @@ def connected_components(
     a current member vertex, so min-over-labels = min id, and shortcut
     edges are chords inside components.
     """
-    vertices = vertices if vertices is not None else vertices_of(edges)
     base = edges
     if init_labels is not None:
         star = init_labels.select(
@@ -75,36 +73,66 @@ def connected_components(
         base = edges.select("src", "dst").unionByName(star)
     sym = symmetrize(base)  # self-loops dropped: TARGET rule cpu_thread.cpp:236-240
 
-    salted, hubs = False, None
-    if hub_threshold is not None:
-        # persist the tiny hub set, not the tagged frame — see bfs.py
-        hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
-        if salted:
-            sym = tag_hubs(sym, hubs)
-
     # state carries a `changed` flag; the frontier is a projection of it.
+    # Default vertex set + sym-degree (for the hub probe) come from ONE
+    # union-aggregate over sym — sym reaches every endpoint of every
+    # non-self-loop edge, and self-loop-only vertices ride along with a
+    # zero degree contribution — instead of the two full passes the old
+    # preamble paid (vertices_of distinct + top_degree_keys probe scan).
+    if vertices is None:
+        dv = (
+            sym.select(F.col("dst").alias("id"), F.lit(1).alias("_d"))
+            .unionByName(
+                base.select("src", "dst")
+                .filter(F.col("src") == F.col("dst"))
+                .select(F.col("src").alias("id"), F.lit(0).alias("_d"))
+            )
+            .groupBy("id")
+            .agg(F.sum("_d").alias("deg"))
+        )
+    else:
+        dv = vertices.select("id").withColumn("deg", F.lit(None).cast("long"))
     if init_labels is not None:
         wl = init_labels.select(F.col("id").alias("wid"), F.col("component").alias("wcomp"))
         state = (
-            vertices.join(wl, vertices["id"] == F.col("wid"), "left")
+            dv.join(wl, dv["id"] == F.col("wid"), "left")
             .select(
                 "id",
                 F.coalesce("wcomp", F.col("id")).alias("comp"),
                 F.lit(True).alias("changed"),
+                "deg",
             )
         )
     else:
-        state = vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"))
+        state = dv.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed"), "deg")
     start_step = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point()
         if rp is not None:
             start_step, state = rp  # changed flag persisted -> frontier restored
+            resumed = True
     if start_step == 0:
         state = materialize(state, ctx, 0)
     n_vertices = state.count()
     active = state.filter("changed").count() if start_step else n_vertices
+
+    salted, hubs = False, None
+    if hub_threshold is not None:
+        if resumed or vertices is not None:
+            # no cached sym-degree available — probe the edge table
+            hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
+        else:
+            # hub keys read off the cached state — no separate probe scan
+            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+        if salted:
+            sym = tag_hubs(sym, hubs)
+        else:
+            hubs.unpersist()
+            hubs = None
+    if "deg" in state.columns:
+        state = state.select("id", "comp", "changed")
     # gather-aligned edge cache: zero shuffle exchanges per superstep in
     # the broadcast-state regime (superstep.prepare_gather_edges)
     prepared = prepare_gather_edges(sym, n_vertices, salted)

@@ -34,7 +34,6 @@ from fog_spark.engine.superstep import (
     maybe_broadcast,
     prepare_gather_edges,
     symmetrize,
-    vertices_of,
 )
 
 
@@ -47,27 +46,38 @@ def label_propagation(
     n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, label). Isolated vertices keep their own id."""
-    vertices = vertices if vertices is not None else vertices_of(edges)
     # mode counts must not double-count duplicate (src,dst) pairs.
     # The distinct is a full shuffle — cache it so the hub probe and the
     # aligned re-partition below read it once, not recompute it each.
     sym0 = symmetrize(edges).distinct().persist()
     sym = sym0
 
-    salted = False
-    if hub_threshold is not None:
-        hubs = top_degree_keys(sym0, "dst", hub_threshold)
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
-        if salted:
-            sym = tag_hubs(sym0, hubs)
-
-    state = vertices.select("id", F.col("id").alias("label"))
+    # default vertex set + sym-degree (for the hub probe) from ONE
+    # union-aggregate over the cached sym0 (self-loop-only vertices ride
+    # along with a zero contribution) — replaces the vertices_of
+    # distinct AND the separate top_degree_keys probe scan
+    if vertices is None:
+        state = (
+            sym0.select(F.col("dst").alias("id"), F.lit(1).alias("_d"))
+            .unionByName(
+                edges.select("src", "dst")
+                .filter(F.col("src") == F.col("dst"))
+                .select(F.col("src").alias("id"), F.lit(0).alias("_d"))
+            )
+            .groupBy("id")
+            .agg(F.sum("_d").alias("deg"))
+            .select("id", F.col("id").alias("label"), "deg")
+        )
+    else:
+        state = vertices.select("id", F.col("id").alias("label"), F.lit(None).cast("long").alias("deg"))
     start_step = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_step, state = rp
             state = state.select("id", "label")
+            resumed = True
             last = ctx.last_committed() or {}
             if last.get("active") == 0:  # already at fixed point
                 sym0.unpersist()
@@ -75,6 +85,19 @@ def label_propagation(
     if start_step == 0:
         state = materialize(state, ctx, 0)
     n = state.count()
+
+    salted = False
+    if hub_threshold is not None:
+        if resumed or vertices is not None:
+            hubs = top_degree_keys(sym0, "dst", hub_threshold)
+        else:
+            # hub keys read off the cached state — no separate probe scan
+            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+        if salted:
+            sym = tag_hubs(sym0, hubs)
+    if "deg" in state.columns:
+        state = state.select("id", "label")
     # gather-aligned cache: with broadcast state both mode aggregations
     # reuse hash(dst) — zero exchanges per superstep (see
     # superstep.prepare_gather_edges; the LPA composite (dst,label) key

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
+    degrees_and_vertices,
     materialize,
     materialize_observed,
     maybe_broadcast,
@@ -80,6 +81,27 @@ def _degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     )
 
 
+def _degrees_with_indeg(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """(id, outdeg, indeg) loop-preamble frame — ONE union-aggregate
+    shuffle (superstep.degrees_and_vertices) instead of the three passes
+    the preamble used to pay (vertices distinct + out-degree groupBy +
+    the top_degree_keys hub-probe scan). With an explicit ``vertices``
+    frame the vertex set is joined on (semantics: callers may restrict
+    or extend the vertex set); hub keys outside that set are then not
+    detected — a performance-only caveat (salting never changes gather
+    results), irrelevant when vertices ⊇ edge endpoints, the documented
+    contract of every in-tree caller."""
+    dv = degrees_and_vertices(edges)
+    if vertices is None:
+        return dv
+    dva = dv.select(F.col("id").alias("_vid"), "outdeg", "indeg")
+    return vertices.join(dva, vertices["id"] == F.col("_vid"), "left").select(
+        vertices["id"],
+        F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.coalesce("indeg", F.lit(0)).alias("indeg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # FOG mode
 # ---------------------------------------------------------------------------
@@ -98,14 +120,21 @@ def pagerank_fog(
 ) -> DataFrame:
     """FOG-mode accumulating PageRank. Returns (id, rank)."""
     spark = edges.sparkSession
-    vertices = vertices if vertices is not None else vertices_of(edges)
-    state = _degrees(edges, vertices).withColumn("rank", F.lit(1.0))
+    state = _degrees_with_indeg(edges, vertices).withColumn("rank", F.lit(1.0))
 
     start_step = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point_at_most(niters)
         if rp is not None:
             start_step, state = rp
+            resumed = True
+
+    if start_step == 0:
+        # resumed state is already parquet-backed — re-writing it would
+        # round-trip (and briefly delete) the only committed snapshot
+        state = materialize(state, ctx, 0)
+    n = state.count()  # known once; drives broadcast decisions every superstep
 
     salted, hubs = False, None
     if kernel == "csr":
@@ -114,14 +143,22 @@ def pagerank_fog(
         nparts = n_kernel_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
         packed = pack_csr(edges, nparts).persist()
         packed.count()  # pack ONCE; reused by every superstep
-    else:
-        edges, salted, hubs = _hub_tagged(edges, hub_threshold)
-
-    if start_step == 0:
-        # resumed state is already parquet-backed — re-writing it would
-        # round-trip (and briefly delete) the only committed snapshot
-        state = materialize(state, ctx, 0)
-    n = state.count()  # known once; drives broadcast decisions every superstep
+    elif hub_threshold is not None:
+        if resumed:
+            # resumed snapshots past step 0 carry no indeg — probe edges
+            edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+        else:
+            # hub keys read off the cached state (indeg) — no separate
+            # full-edge-table probe aggregation job
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            salted = not hubs.isEmpty()
+            if salted:
+                edges = tag_hubs(edges, hubs)
+            else:
+                hubs.unpersist()
+                hubs = None
+    if "indeg" in state.columns:
+        state = state.select("id", "outdeg", "rank")
     if kernel != "csr":
         # gather-aligned edge cache (superstep.prepare_gather_edges):
         # zero shuffle exchanges per superstep when the state broadcasts.
@@ -201,28 +238,8 @@ def pagerank_standard(
     supersteps. Vertices absent from ``init_ranks`` (newly arrived)
     start at 1/n; a ``ctx`` resume snapshot takes precedence.
     """
-    vertices = vertices if vertices is not None else vertices_of(edges)
-    state = _degrees(edges, vertices).withColumn("rank", F.lit(0.0)).withColumn("prev", F.lit(0.0))
-    n = state.count()
-    if n == 0:  # an empty graph is converged (and 1/n is undefined)
-        return state.select("id", "rank"), 0
-    if init_ranks is not None:
-        warm = init_ranks.select(F.col("id").alias("wid"), F.col("rank").alias("wrank"))
-        state = state.join(maybe_broadcast(warm, n), state["id"] == F.col("wid"), "left").select(
-            "id", "outdeg", F.coalesce("wrank", F.lit(1.0 / n)).alias("rank"), "prev"
-        )
-        # Normalize to sum 1: mass error lies along the principal
-        # eigenvector and decays only at rate d (the SLOWEST mode) —
-        # an unnormalized warm start from a grown graph measurably
-        # converges slower than uniform (103 vs 30 supersteps at 1e-10
-        # on a 31-vertex drive). Shape error decays at d·λ2, so the
-        # normalized warm start is the fast path the docstring promises.
-        tot = state.agg(F.sum("rank")).collect()[0][0] or 1.0
-        state = state.withColumn("rank", F.col("rank") / tot)
-    else:
-        state = state.withColumn("rank", F.lit(1.0 / n))
-
     start_it = 0
+    state = base = None
     if ctx is not None:
         rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
@@ -234,8 +251,52 @@ def pagerank_standard(
             if rec.get("delta") is not None and rec["delta"] < tol:
                 return state.select("id", "rank"), start_it
     if start_it == 0:
-        state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
-    edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+        # one materialized (id, outdeg, indeg) preamble frame: vertex
+        # set, scatter degrees, and hub keys in a single shuffle, and
+        # the init plan executes ONCE (the old count-then-checkpoint
+        # flow re-executed the degree aggregation for each)
+        base = materialize(_degrees_with_indeg(edges, vertices))
+        n = base.count()
+        if n == 0:  # an empty graph is converged (and 1/n is undefined)
+            return base.select("id", F.lit(0.0).alias("rank")), 0
+        state = base.select("id", "outdeg", F.lit(1.0 / n).alias("rank"), F.lit(0.0).alias("prev"))
+        if init_ranks is not None:
+            warm = init_ranks.select(F.col("id").alias("wid"), F.col("rank").alias("wrank"))
+            state = base.join(maybe_broadcast(warm, n), base["id"] == F.col("wid"), "left").select(
+                "id", "outdeg", F.coalesce("wrank", F.lit(1.0 / n)).alias("rank"), F.lit(0.0).alias("prev")
+            )
+            # Normalize to sum 1: mass error lies along the principal
+            # eigenvector and decays only at rate d (the SLOWEST mode) —
+            # an unnormalized warm start from a grown graph measurably
+            # converges slower than uniform (103 vs 30 supersteps at 1e-10
+            # on a 31-vertex drive). Shape error decays at d·λ2, so the
+            # normalized warm start is the fast path the docstring promises.
+            tot = state.agg(F.sum("rank")).collect()[0][0] or 1.0
+            state = state.withColumn("rank", F.col("rank") / tot)
+        if ctx is not None:
+            state = materialize(state, ctx, 0)
+        elif init_ranks is not None:
+            # the warm join is not a thin projection over the cached
+            # base — checkpoint so superstep 1 doesn't execute it twice
+            state = state.localCheckpoint(eager=True)
+        # otherwise the thin projection over the cached base IS the
+        # stable step-0 leaf — a second localCheckpoint would only copy it
+    else:
+        n = state.count()
+
+    salted, hubs = False, None
+    if hub_threshold is not None:
+        if base is not None:
+            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            salted = not hubs.isEmpty()
+            if salted:
+                edges = tag_hubs(edges, hubs)
+            else:
+                hubs.unpersist()
+                hubs = None
+        else:  # resumed: no cached indeg frame — probe the edge table
+            edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+    state = state.select("id", "outdeg", "rank", "prev")
     # gather-aligned edge cache — see pagerank_fog (convergent run:
     # iteration budget unknown, assume enough supersteps to amortize)
     prepared = prepare_gather_edges(edges, n, salted)
@@ -419,21 +480,26 @@ def pagerank_personalized(
     ``max_iters=k`` that is the fixed-depth form external fixed-k
     oracles replay.
     """
-    vertices = vertices if vertices is not None else vertices_of(edges)
+    # one materialized (id, outdeg, indeg) preamble frame (see
+    # pagerank_standard): vertex set, scatter degrees, and hub keys in
+    # a single shuffle, executed once
+    base = materialize(_degrees_with_indeg(edges, vertices))
+    n = base.count()
+    if n == 0:
+        return base.select("id", F.lit(0.0).alias("rank")), 0
     # intersect the seeds with the vertex set BEFORE sizing 1/|S|:
     # an unknown seed id would otherwise keep a share of teleport mass
     # that the state join then drops, deflating every rank and breaking
     # the sum-to-1 invariant this docstring promises
     seed_set = (
         seeds.select(F.col("id").alias("sid")).distinct()
-        .join(vertices.select(F.col("id").alias("sid")), "sid", "left_semi")
+        .join(base.select(F.col("id").alias("sid")), "sid", "left_semi")
     )
     n_seeds = seed_set.count()
     if n_seeds == 0:
         raise ValueError(
             "pagerank_personalized needs a non-empty seed set intersecting the graph's vertices"
         )
-    base = _degrees(edges, vertices)
     state = (
         base.join(seed_set, base["id"] == seed_set["sid"], "left")
         .select(
@@ -446,21 +512,34 @@ def pagerank_personalized(
         .withColumn("rank", F.col("tele"))
         .withColumn("prev", F.lit(0.0))
     )
-    n = state.count()
-    if n == 0:
-        return state.select("id", "rank"), 0
 
     start_it = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_it, state = rp
+            resumed = True
             rec = next((m for m in reversed(ctx.metrics()) if m["superstep"] == start_it), {})
             if rec.get("delta") is not None and rec["delta"] < tol:
                 return state.select("id", "rank"), start_it
     if start_it == 0:
+        # the seed join is not a thin projection over the cached base —
+        # checkpoint it so superstep 1 doesn't execute it twice
         state = materialize(state, ctx, 0) if ctx else state.localCheckpoint(eager=True)
-    edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+
+    salted, hubs = False, None
+    if hub_threshold is not None:
+        if resumed:
+            edges, salted, hubs = _hub_tagged(edges, hub_threshold)
+        else:
+            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            salted = not hubs.isEmpty()
+            if salted:
+                edges = tag_hubs(edges, hubs)
+            else:
+                hubs.unpersist()
+                hubs = None
     prepared = prepare_gather_edges(edges, n, salted)
     owned_cache = prepared is not edges
     edges = prepared

@@ -57,48 +57,89 @@ def canonical_code_sql(prefix: str = "") -> str:
 
 def triad_census(edges: DataFrame) -> DataFrame:
     """(triad_code, n_triads): canonical-code counts over all triples
-    with >= 2 linked dyads."""
+    with >= 2 linked dyads.
+
+    ONE pass over the O(Σ deg²) triple stream: every linked unordered
+    pair carries its two direction bits (lo→hi, hi→lo) from a single
+    aggregation, the bits ride THROUGH the wedge join, and the third
+    dyad is attached with one left join — so the giant wedge stream
+    crosses exactly two exchanges (third-dyad join + the triple
+    distinct) instead of the seven a probe-per-bit chain of six
+    sequential joins costs. Duplicated triples (a triangle enumerates
+    via 3 centers) carry identical bit columns — all six bits are
+    functions of the triple's own dyads — so the sorted-triple DISTINCT
+    collapses them exactly as before."""
     d = (
         edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    und = d.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    # per linked unordered pair (a < b): does a→b / b→a exist — one agg
+    links = (
+        d.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("src") < F.col("dst")).alias("isf"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("isf").alias("fab"), F.max(~F.col("isf")).alias("fba"))
+        .localCheckpoint(eager=False)
+    )
+    # wedge through a center m, direction bits carried along
+    l1 = links.select(
+        F.col("a").alias("m"), F.col("b").alias("p"),
+        F.col("fab").alias("mp"), F.col("fba").alias("pm"),
+    ).unionByName(
+        links.select(
+            F.col("b").alias("m"), F.col("a").alias("p"),
+            F.col("fba").alias("mp"), F.col("fab").alias("pm"),
+        )
+    )
+    l2 = l1.select(
+        F.col("m"), F.col("p").alias("q"), F.col("mp").alias("mq"), F.col("pm").alias("qm")
+    )
+    wedges = l1.join(l2, "m").where(F.col("p") < F.col("q"))
+    # third dyad (p, q) — p < q matches links' (a < b) orientation
+    pq = links.select(
+        F.col("a").alias("p"), F.col("b").alias("q"),
+        F.col("fab").alias("pq"), F.col("fba").alias("qp"),
+    )
+    t = wedges.join(pq, ["p", "q"], "left").select(
+        "m", "p", "q", "mp", "pm", "mq", "qm",
+        F.coalesce("pq", F.lit(False)).alias("pq"),
+        F.coalesce("qp", F.lit(False)).alias("qp"),
+    )
+    # sort the triple and route each dyad's bits to its (x,y,z) slots
+    x = F.least("m", "p", "q")
+    # median of three: max(min(m,p), min(max(m,p), q))
+    y = F.greatest(F.least("m", "p"), F.least(F.greatest("m", "p"), F.col("q")))
+    z = F.greatest("m", "p", "q")
+    dyads = [
+        (F.least("m", "p"), F.greatest("m", "p"),
+         F.when(F.col("m") < F.col("p"), F.col("mp")).otherwise(F.col("pm")),
+         F.when(F.col("m") < F.col("p"), F.col("pm")).otherwise(F.col("mp"))),
+        (F.least("m", "q"), F.greatest("m", "q"),
+         F.when(F.col("m") < F.col("q"), F.col("mq")).otherwise(F.col("qm")),
+         F.when(F.col("m") < F.col("q"), F.col("qm")).otherwise(F.col("mq"))),
+        (F.col("p"), F.col("q"), F.col("pq"), F.col("qp")),
+    ]
+
+    def _bit(lo, hi, forward: bool):
+        expr = F.lit(False)
+        for dlo, dhi, dfwd, dbwd in dyads:
+            expr = F.when((dlo == lo) & (dhi == hi), dfwd if forward else dbwd).otherwise(expr)
+        return expr
+
+    t2 = t.select(
+        x.alias("x"), y.alias("y"), z.alias("z"),
+        _bit(x, y, True).alias("b1"), _bit(x, y, False).alias("b2"),
+        _bit(x, z, True).alias("b4"), _bit(x, z, False).alias("b8"),
+        _bit(y, z, True).alias("b16"), _bit(y, z, False).alias("b32"),
     ).distinct()
-    # wedge through a center: triples with >=2 linked dyads, then the
-    # sorted triple deduplicates multi-center triangles
-    l1 = und.select(F.col("a").alias("m"), F.col("b").alias("p")).unionByName(
-        und.select(F.col("b").alias("m"), F.col("a").alias("p"))
-    )
-    l2 = l1.select(F.col("m"), F.col("p").alias("q"))
-    triples = (
-        l1.join(l2, "m")
-        .where(F.col("p") < F.col("q"))
-        .select(
-            F.least("m", "p", "q").alias("x"),
-            # median of three: max(min(m,p), min(max(m,p), q))
-            F.greatest(F.least("m", "p"), F.least(F.greatest("m", "p"), F.col("q"))).alias("y"),
-            F.greatest("m", "p", "q").alias("z"),
-        )
-        .distinct()
-    )
-    t = triples
-    for bit, (i, j) in {v: k for k, v in _BIT.items()}.items():
-        cols = ["x", "y", "z"]
-        probe = d.select(
-            F.col("src").alias(cols[i] + "_s"), F.col("dst").alias(cols[j] + "_d"), F.lit(True).alias(f"b{bit}")
-        )
-        t = t.join(
-            probe,
-            (F.col(cols[i]) == F.col(cols[i] + "_s")) & (F.col(cols[j]) == F.col(cols[j] + "_d")),
-            "left",
-        ).select("x", "y", "z", *[f"b{k}" for k in _BIT.values() if k <= bit])
-        t = t.withColumn(f"b{bit}", F.coalesce(F.col(f"b{bit}"), F.lit(False)))
     code = F.least(*_perm_exprs())
     return (
-        t.select(code.alias("triad_code"))
+        t2.select(code.alias("triad_code"))
         .groupBy("triad_code")
         .agg(F.count(F.lit(1)).alias("n_triads"))
     )

@@ -13,9 +13,21 @@ Pure DataFrame equi-joins; no Python in the plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from fog_spark.engine.superstep import vertices_of
+
+# Oriented-edge count below which the wedge and closure joins build
+# broadcast hash relations instead of exchanging (guide-style deliberate
+# join-strategy choice): the O(Σ out·in) wedge stream — 40x |o| on the
+# bench graph — then flows from the cached scan through two in-memory
+# hash probes inside ONE codegen stage, never crossing an exchange.
+# Cost: ~40 MB of broadcast per 1M oriented edges on every executor, so
+# above the cap the exchange-based merge/shuffle_hash plan remains the
+# scale path (a broadcast relation must fit executor memory).
+TRIANGLE_BROADCAST_MAX_EDGES = int(os.environ.get("FOGSPARK_TRIANGLE_BC_MAX", "4000000"))
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -43,6 +55,44 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
+def _oriented_cached(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Orient, spread over the shuffle-partition count (the wedge stage's
+    parallelism = the cache's partitioning — AQE would otherwise coalesce
+    this small table to a couple of partitions), cache, and count once
+    (the count both materializes the cache and drives the join-strategy
+    gate below)."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = _oriented(edges).repartition(n, "lo", "hi").persist()
+    return o, o.count()
+
+
+def _triangle_stream(o: DataFrame, n_o: int) -> DataFrame:
+    """(x, y, z) triangle rows from the cached oriented table.
+
+    Small-|o| regime (<= TRIANGLE_BROADCAST_MAX_EDGES): broadcast the
+    oriented table for both the wedge build and the closure probe — the
+    wedge stream (the one O(Σ out·in) intermediate) stays inside one
+    codegen stage, zero exchanges above the orientation.
+
+    Large-|o| regime: sort-merge the wedge join and SHUFFLE_HASH the
+    closure — the wedge stream is exchanged but never sorted and never
+    collected to the driver; this is the only shape that survives
+    10^12 edges, where a broadcast hash relation cannot fit.
+    """
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    if 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES:
+        e2 = F.broadcast(o.select(F.col("lo").alias("y"), F.col("hi").alias("z")))
+        e3 = F.broadcast(o.select(F.col("lo").alias("x"), F.col("hi").alias("z")))
+        # left_semi == inner here: o is distinct on (lo, hi), so the
+        # closure probe matches at most one build row per wedge
+        return e1.join(e2, "y").join(e3, ["x", "z"], "left_semi").select("x", "y", "z")
+    e1 = e1.hint("merge")
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
+    return e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+
+
 def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
     """Returns (id, tri_count) — per-vertex triangle membership. Exact.
 
@@ -50,21 +100,13 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
     see triangle_total for the scalar.
     """
     vertices = vertices if vertices is not None else vertices_of(edges)
-    # sort-merge hints: the oriented table is ~m/2 rows; broadcasting it
-    # is a driver-side hash build that degrades unpredictably and cannot
-    # work at 10^12 edges. SMJ shuffles by the join key and scales out.
-    o = _oriented(edges).persist()
-    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
-    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
-    # closure join: SHUFFLE_HASH, not merge — the wedge stream is O(sum
-    # deg_oriented^2) rows and must not be sorted; hashing the (small)
-    # edge side per partition probes the wedges in one streaming pass.
-    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
-    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    o, n_o = _oriented_cached(edges)
+    tris = _triangle_stream(o, n_o)
+    # one explode pass, NOT a 3-way union of projections: the union plan
+    # repeats the triangle-stream subtree per branch, and only exchanges
+    # are reused at runtime — the wedge probe would execute three times
     member = (
-        tris.select(F.col("x").alias("id"))
-        .unionByName(tris.select(F.col("y").alias("id")))
-        .unionByName(tris.select(F.col("z").alias("id")))
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
     )
     out = (
@@ -79,11 +121,8 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
 
 
 def triangle_total(edges: DataFrame) -> int:
-    o = _oriented(edges).persist()
-    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
-    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
-    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
-    n = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    o, n_o = _oriented_cached(edges)
+    n = _triangle_stream(o, n_o).count()
     o.unpersist()
     return int(n)
 
@@ -98,16 +137,15 @@ def four_clique_total(edges: DataFrame) -> DataFrame:
     which bounds both the wedge and the extension fan-out on power-law
     graphs (the reason this shape survives web-scale inputs where a naive
     4-way enumeration does not)."""
-    o = _oriented(edges).persist()
-    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
-    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
-    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
-    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
-    ext = tris.join(
-        o.select(F.col("lo").alias("z"), F.col("hi").alias("w")).hint("shuffle_hash"), "z"
-    )
-    c1 = ext.join(o.select(F.col("lo").alias("y"), F.col("hi").alias("w")), ["y", "w"], "left_semi")
-    c2 = c1.join(o.select(F.col("lo").alias("x"), F.col("hi").alias("w")), ["x", "w"], "left_semi")
+    o, n_o = _oriented_cached(edges)
+    tris = _triangle_stream(o, n_o)
+    small = 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES
+    ext_side = o.select(F.col("lo").alias("z"), F.col("hi").alias("w"))
+    ext = tris.join(F.broadcast(ext_side) if small else ext_side.hint("shuffle_hash"), "z")
+    c1s = o.select(F.col("lo").alias("y"), F.col("hi").alias("w"))
+    c2s = o.select(F.col("lo").alias("x"), F.col("hi").alias("w"))
+    c1 = ext.join(F.broadcast(c1s) if small else c1s, ["y", "w"], "left_semi")
+    c2 = c1.join(F.broadcast(c2s) if small else c2s, ["x", "w"], "left_semi")
     out = c2.agg(F.count(F.lit(1)).cast("long").alias("n_4cliques")).localCheckpoint(eager=True)
     o.unpersist()
     return out

@@ -120,6 +120,27 @@ def vertices_of(edges: DataFrame) -> DataFrame:
     )
 
 
+def degrees_and_vertices(edges: DataFrame) -> DataFrame:
+    """(id, outdeg, indeg) for every vertex of the edge table — ONE
+    union-aggregate shuffle.
+
+    Replaces three separate passes the loop preambles used to pay
+    (vertices_of's distinct, the groupBy(src) out-degree aggregation,
+    and the top_degree_keys hub-probe scan by dst): the caller reads
+    vertices, out-degrees for the scatter message, and in-degree hub
+    keys (indeg > HUB_DEGREE_THRESHOLD) off the same materialized frame.
+    Self-loops count toward both degrees (GLOBAL-mode semantics;
+    TARGET-mode callers filter self-loops before calling).
+    """
+    both = edges.select(F.col("src").alias("id"), F.lit(1).alias("_o")).unionByName(
+        edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"))
+    )
+    return both.groupBy("id").agg(
+        F.sum("_o").alias("outdeg"),
+        (F.count(F.lit(1)) - F.sum("_o")).alias("indeg"),
+    )
+
+
 _MATERIALIZE_TICKS = 0
 _GC_EVERY = 5
 

@@ -39,32 +39,36 @@ def with_content_sha(repos: DataFrame) -> DataFrame:
 
 
 def _extract_refs_builtin(repos: DataFrame) -> DataFrame:
-    """(repo, path, dst_path) via JVM regexp — the fast path."""
-    py = (
-        repos.filter(F.col("lang") == "python")
-        .select(
-            "repo",
-            "path",
-            F.explode(
-                F.concat(
-                    F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(1)),
-                    F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(2)),
-                )
-            ).alias("mod"),
-        )
-        .filter(F.col("mod") != "")
-        .select("repo", "path", F.concat(F.lit("src/"), F.col("mod"), F.lit(".py")).alias("dst_path"))
+    """(repo, path, dst_path) via JVM regexp — the fast path.
+
+    ONE scan: the py and c/cpp branches used to be two filtered scans
+    unioned, which evaluated the (dominant) content column twice when
+    the input is a generated/derived table rather than a stored one. A
+    per-row CASE over lang extracts either grammar in a single pass;
+    row multiset is identical (explode of the empty array yields no
+    rows, same as the old lang filters)."""
+    py_mods = F.filter(
+        F.concat(
+            F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(1)),
+            F.regexp_extract_all(F.col("content"), F.lit(IMPORT_RE_PY), F.lit(2)),
+        ),
+        lambda m: m != "",
     )
-    c = (
-        repos.filter(F.col("lang").isin("c", "cpp"))
-        .select(
-            "repo",
-            "path",
-            F.explode(F.regexp_extract_all(F.col("content"), F.lit(INCLUDE_RE_C), F.lit(1))).alias("hdr"),
+    refs = (
+        F.when(
+            F.col("lang") == "python",
+            F.transform(py_mods, lambda m: F.concat(F.lit("src/"), m, F.lit(".py"))),
         )
-        .select("repo", "path", F.concat(F.lit("src/"), F.col("hdr")).alias("dst_path"))
+        .when(
+            F.col("lang").isin("c", "cpp"),
+            F.transform(
+                F.regexp_extract_all(F.col("content"), F.lit(INCLUDE_RE_C), F.lit(1)),
+                lambda h: F.concat(F.lit("src/"), h),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
     )
-    return py.unionByName(c)
+    return repos.select("repo", "path", F.explode(refs).alias("dst_path"))
 
 
 _REFS_SCHEMA = T.StructType(

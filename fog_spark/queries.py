@@ -5002,15 +5002,25 @@ PMI_TOPK = 50
 def q_token_pmi(spark, sf_dir):
     """Top-50 token collocations by pointwise mutual information over
     document co-occurrence (distinct tokens per doc; pairs generated
-    ONLY through the shared document — the wedge-join shape again —
-    with a min pair count of 20 pruning the long tail map-side).
+    ONLY through the shared document — the wedge-join shape again).
     pmi_r = round(ln(n_pairs_universe * c_ab / (c_a * c_b)), 6) with
-    ranking on the rounded value, pair ids as tie-break."""
-    tok = doc_tokens(spark, sf_dir).select("doc_id", "t").distinct()
+    ranking on the rounded value, pair ids as tie-break.
+
+    Long-tail prune BEFORE the pair join: cab <= min(ca, cb), so a
+    token with corpus count < PMI_MIN_PAIR can never appear in a
+    surviving pair — the semi-join against the frequent vocabulary
+    removes the singleton-dominated tail from the per-doc self-join's
+    input (value-neutral: the oracle's post-aggregation HAVING keeps
+    the equivalent declarative form). The token table is checkpointed
+    once — four consumers (n_docs, counts, both join sides) would
+    otherwise each re-run tokenization + distinct."""
+    tok = doc_tokens(spark, sf_dir).select("doc_id", "t").distinct().localCheckpoint(eager=True)
     n_docs = tok.select("doc_id").distinct().count()
-    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    a = tok.select("doc_id", F.col("t").alias("ta"))
-    b = tok.select("doc_id", F.col("t").alias("tb"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    keep = cnt.filter(F.col("c") >= PMI_MIN_PAIR).select("t")
+    ptok = tok.join(keep, "t", "left_semi")
+    a = ptok.select("doc_id", F.col("t").alias("ta"))
+    b = ptok.select("doc_id", F.col("t").alias("tb"))
     pairs = (
         a.join(b, "doc_id")
         .where(F.col("ta") < F.col("tb"))

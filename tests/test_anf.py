@@ -99,3 +99,47 @@ def test_anf_curve_exact_small_k_and_reaches90(spark):
     assert rows[first]["n_micro"] * 10 >= n_final * 9
     if first > 0:
         assert rows[first - 1]["n_micro"] * 10 < n_final * 9
+
+
+def test_bounded_merge_matches_unbounded_and_plan_is_bounded(spark):
+    """The live KMV merge must (a) reproduce the flatten/collect_list
+    merge bit-for-bit and (b) plan the bounded shape: a Window ranking
+    with no collect_list over un-truncated flattened arrays below it —
+    the O(deg*k) single-buffer form is the executor-OOM shape on hubs."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from fog_spark.algorithms.anf import _bounded_bottom_k_merge, _merged_bottom_k
+
+    # hub fixture: vertex 0 receives 3000 sketches of 4 hashes each
+    rows = [(0, [h * 7 + j for j in range(4)]) for h in range(3000)]
+    rows += [(1, [5, 6]), (2, [1])]
+    df = spark.createDataFrame(pd.DataFrame({"id": [r[0] for r in rows], "hvs": [r[1] for r in rows]}))
+    k = 16
+    bounded = {r["id"]: r["hvs"] for r in _bounded_bottom_k_merge(df, k).collect()}
+    unbounded = {
+        r["id"]: r["hvs"]
+        for r in df.groupBy("id").agg(_merged_bottom_k(k).alias("hvs")).collect()
+    }
+    assert bounded == unbounded
+    plan = _bounded_bottom_k_merge(df, k)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "flatten" not in plan.lower()
+
+
+def test_neighborhood_sketches_use_bounded_merge(spark):
+    """Usage pin: one ANF round's plan must contain the windowed rank,
+    not the flatten/collect_list merge."""
+    import pandas as pd
+
+    from fog_spark.algorithms.anf import _bounded_bottom_k_merge, _kmv_hash
+    from pyspark.sql import functions as F
+
+    E = [(0, 1), (1, 2), (2, 0)]
+    df = spark.createDataFrame(pd.DataFrame(E, columns=["src", "dst"]))
+    state = df.select(F.col("src").alias("id"), F.array(_kmv_hash(F.col("src"))).alias("hvs"))
+    contrib = df.join(state, df["dst"] == state["id"]).select(df["src"].alias("id"), "hvs")
+    merged = _bounded_bottom_k_merge(state.unionByName(contrib), 16)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "flatten" not in plan.lower()

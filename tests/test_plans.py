@@ -265,3 +265,22 @@ def test_sweep_cut_full_graph_side_is_distributed(spark):
     assert "CartesianProduct" not in plan
     # the top-K frame is broadcast into the edge joins, not shuffled
     assert "BroadcastHashJoin" in plan
+
+
+def test_triad_census_one_pass_over_triple_stream(spark):
+    """Direction bits ride the wedge join: the whole census plans at
+    most 3 join operators (wedge + third dyad, + slack for an AQE
+    rewrite) — the old shape probed the O(Σ deg²) triple stream with
+    six sequential per-bit joins, seven exchanges of the largest
+    intermediate in the query."""
+    import re
+
+    from fog_spark.algorithms.triads import triad_census
+    from fog_spark.queries import directed_edges
+
+    plan = _plan(triad_census(directed_edges(spark, SF)))
+    joins = [
+        line for line in plan.splitlines()
+        if re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", line)
+    ]
+    assert len(joins) <= 3, joins
