@@ -56,38 +56,94 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def _oriented_cached(edges: DataFrame) -> tuple[DataFrame, int]:
-    """Orient, spread over the shuffle-partition count (the wedge stage's
-    parallelism = the cache's partitioning — AQE would otherwise coalesce
-    this small table to a couple of partitions), cache, and count once
-    (the count both materializes the cache and drives the join-strategy
-    gate below)."""
+    """Orient by (degree, id) and cache. Returns (o, |o|).
+
+    The undirected table is deduped, explicitly spread over the
+    shuffle-partition count (AQE would coalesce this small table to a
+    couple of partitions and the downstream wedge stage inherits the
+    cache's parallelism), and cached so the degree aggregation and the
+    orientation joins read it once. In the small regime the two degree
+    joins broadcast the (|V|-row) degree table — at 10^12 edges that
+    relation cannot broadcast, so past the gate AQE picks from runtime
+    sizes as before. |o| == |und| (orientation is a bijection), so one
+    count drives both materialization and the strategy gate."""
     spark = edges.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    o = _oriented(edges).repartition(n, "lo", "hi").persist()
-    return o, o.count()
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .repartition(n, "a", "b")
+        .persist()
+    )
+    n_und = und.count()
+    deg = und.select(F.explode(F.array("a", "b")).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("v").alias("_va"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("deg").alias("degb"))
+    if 0 <= n_und <= TRIANGLE_BROADCAST_MAX_EDGES:
+        da, db = F.broadcast(da), F.broadcast(db)
+    lt = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, F.col("a") == F.col("_va"))
+        .join(db, F.col("b") == F.col("_vb"))
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .persist()
+    )
+    o.count()
+    und.unpersist()
+    return o, n_und
+
+
+def _closed_wedges(o: DataFrame) -> DataFrame:
+    """(lo, hi, ws): per oriented edge, the sorted array of witnesses
+    closing a triangle over it — ws = N⁺(lo) ∩ N⁺(hi).
+
+    Edge-iterator over broadcast sorted adjacency: the O(Σ out·in)
+    wedge stream never materializes as rows; each edge intersects two
+    in-memory arrays inside one codegen stage. Per-group state in the
+    adjacency build is bounded by the orientation's ~sqrt(2m) max
+    out-degree. Small-regime only (the adjacency relation must fit an
+    executor)."""
+    adj = o.groupBy("lo").agg(F.array_sort(F.collect_list("hi")).alias("nb"))
+    au = F.broadcast(adj.select(F.col("lo").alias("_u"), F.col("nb").alias("nbu")))
+    av = F.broadcast(adj.select(F.col("lo").alias("_v"), F.col("nb").alias("nbv")))
+    # slice(nbu, 1, 0) = empty array of nbu's exact element type
+    return (
+        o.join(au, F.col("lo") == F.col("_u"))
+        .join(av, F.col("hi") == F.col("_v"), "left")
+        .select(
+            "lo",
+            "hi",
+            F.array_intersect("nbu", F.coalesce("nbv", F.slice("nbu", 1, 0))).alias("ws"),
+        )
+    )
 
 
 def _triangle_stream(o: DataFrame, n_o: int) -> DataFrame:
     """(x, y, z) triangle rows from the cached oriented table.
 
-    Small-|o| regime (<= TRIANGLE_BROADCAST_MAX_EDGES): broadcast the
-    oriented table for both the wedge build and the closure probe — the
-    wedge stream (the one O(Σ out·in) intermediate) stays inside one
-    codegen stage, zero exchanges above the orientation.
+    Small-|o| regime (<= TRIANGLE_BROADCAST_MAX_EDGES): broadcast
+    sorted-adjacency edge-iterator (_closed_wedges) — the O(Σ out·in)
+    wedge stream is never materialized, exchanged, or probed row by
+    row; explode(ws) emits exactly the triangle rows.
 
     Large-|o| regime: sort-merge the wedge join and SHUFFLE_HASH the
     closure — the wedge stream is exchanged but never sorted and never
     collected to the driver; this is the only shape that survives
-    10^12 edges, where a broadcast hash relation cannot fit.
+    10^12 edges, where a broadcast relation cannot fit.
     """
-    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     if 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES:
-        e2 = F.broadcast(o.select(F.col("lo").alias("y"), F.col("hi").alias("z")))
-        e3 = F.broadcast(o.select(F.col("lo").alias("x"), F.col("hi").alias("z")))
-        # left_semi == inner here: o is distinct on (lo, hi), so the
-        # closure probe matches at most one build row per wedge
-        return e1.join(e2, "y").join(e3, ["x", "z"], "left_semi").select("x", "y", "z")
-    e1 = e1.hint("merge")
+        return _closed_wedges(o).select(
+            F.col("lo").alias("x"), F.col("hi").alias("y"), F.explode("ws").alias("z")
+        )
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y")).hint("merge")
     e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z")).hint("merge")
     e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z")).hint("shuffle_hash")
     return e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
@@ -122,7 +178,11 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> Data
 
 def triangle_total(edges: DataFrame) -> int:
     o, n_o = _oriented_cached(edges)
-    n = _triangle_stream(o, n_o).count()
+    if 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES:
+        # sum of witness-array sizes — no need to even explode
+        n = _closed_wedges(o).agg(F.sum(F.size("ws"))).collect()[0][0] or 0
+    else:
+        n = _triangle_stream(o, n_o).count()
     o.unpersist()
     return int(n)
 

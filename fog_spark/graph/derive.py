@@ -144,11 +144,15 @@ def assign_dense_ids(files: DataFrame, partitions: int | None = None) -> DataFra
         acc += counts[pid]
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy("repo", "path")
-    return parted.select(
+    out = parted.select(
         "repo",
         "path",
         (F.row_number().over(w) - 1 + omap[F.col("_pid")]).cast("long").alias("id"),
     )
+    # checkpoint the FINISHED frame: every caller fans it out at least
+    # twice (src index, dst index, vertex set) and the per-partition
+    # sort + offset map would otherwise re-execute per consumer
+    return out.localCheckpoint(eager=True)
 
 
 @dataclass

@@ -55,12 +55,20 @@ def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The SURVEY §2.1 S1-style 'edge derivation from a source table'
     exercised on the driver's fixtures. Deterministic weight per
     FIXTURES.md §2 replaces FOG's rand-in-[0,10) conversion weights.
+
+    Shape: ONE groupBy(order) + in-row pair explosion instead of the
+    order-keyed self-join (which scans and shuffles the table twice,
+    then sorts both sides) — measured 2.3x at sf0.1. The per-group
+    buffer is O(items per order), bounded by the source's order size;
+    the pair output is the same O(Σ g²) multiset either way (identical
+    rows after DISTINCT), and a hot order concentrates its g² pairs on
+    one task under both shapes.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    grouped = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
     return (
-        a.join(b, "k")
+        grouped.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .select(
             "src",
