@@ -20,7 +20,6 @@ from fog_spark.engine.superstep import (
     materialize_observed,
     maybe_broadcast,
     prepare_gather_edges,
-    vertices_of,
     with_frontier_hint,
 )
 
@@ -37,34 +36,61 @@ def bfs_levels(
     n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, level); unreached vertices carry the 4294967295 sentinel."""
-    vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
 
-    salted, hubs = False, None
-    if hub_threshold is not None:
-        # persist the (tiny) hub set, NOT the tagged edge frame: the
-        # per-superstep tag join then rebuilds its broadcast from the
-        # cache instead of re-aggregating degrees over all edges, and
-        # no second full-size copy of the edge table is cached
-        hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
-        if salted:
-            fwd = tag_hubs(fwd, hubs)
-
-    state = vertices.select(
+    # default vertex set + fwd in-degree (hub keys) from ONE
+    # union-aggregate over the edge table instead of the vertices_of
+    # distinct plus a separate top_degree_keys probe scan (self-loop
+    # endpoints stay in the vertex set with a zero degree contribution,
+    # matching the probe's self-loop-filtered view)
+    if vertices is None:
+        dv = (
+            edges.select(F.col("src").alias("id"), F.lit(0).alias("_d"))
+            .unionByName(
+                edges.select(
+                    F.col("dst").alias("id"),
+                    (F.col("src") != F.col("dst")).cast("int").alias("_d"),
+                )
+            )
+            .groupBy("id")
+            .agg(F.sum("_d").alias("indeg"))
+        )
+    else:
+        dv = vertices.select("id").withColumn("indeg", F.lit(None).cast("long"))
+    state = dv.select(
         "id",
         F.when(F.col("id") == root, F.lit(0)).otherwise(F.lit(UNREACHED)).cast("long").alias("level"),
         (F.col("id") == root).alias("changed"),
+        "indeg",
     )
     start_step = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_step, state = rp
+            resumed = True
     if start_step == 0:
         state = materialize(state, ctx, 0)
     n_vertices = state.count()
     active = state.filter("changed").count() if start_step else 1
+
+    salted, hubs = False, None
+    if hub_threshold is not None:
+        if resumed or vertices is not None:
+            # no cached in-degree available — probe the edge table
+            hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
+        else:
+            # hub keys read off the cached state — no separate probe scan
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+        if salted:
+            fwd = tag_hubs(fwd, hubs)
+        else:
+            hubs.unpersist()
+            hubs = None
+    if "indeg" in state.columns:
+        state = state.select("id", "level", "changed")
     # gather-aligned edge cache (superstep.prepare_gather_edges): zero
     # shuffle exchanges per superstep in the broadcast-state regime
     prepared = prepare_gather_edges(fwd, n_vertices, salted)

@@ -46,7 +46,10 @@ def influence_spread(
 ) -> DataFrame:
     """(seed, sample, reach): per cascade sample, the number of
     vertices each seed reaches (itself included) over the hash-activated
-    subgraph. ``seeds`` is a DataFrame with a ``root`` column."""
+    subgraph. ``seeds`` is a DataFrame with a ``root`` column; duplicate
+    roots (e.g. CLI --seeds 3,3) are deduped so they neither seed
+    duplicate BFS state nor emit duplicate output rows."""
+    seeds = seeds.select("root").distinct()
     out = None
     for k in range(samples):
         sub = active_edges(edges, k, p_num)

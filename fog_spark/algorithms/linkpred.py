@@ -138,6 +138,12 @@ def related_pages(
     carries its own ranked list. Ranking is on the 6-decimal-rounded
     Jaccard with the related id as the deterministic tie-break (the
     cross-engine ranking discipline established by tf-idf).
+
+    With ``max_degree`` set, pairs co-cited ONLY through citers above
+    the cap lose that evidence while the denominator keeps the full
+    in-degrees, so ``jaccard_r`` is a LOWER BOUND on the true
+    in-neighborhood Jaccard (exact when no citer exceeds the cap;
+    pass ``max_degree=None`` for the exact measure).
     """
     ded = edges.filter(F.col("src") != F.col("dst")).select("src", "dst") \
         .distinct().localCheckpoint(eager=False)

@@ -26,7 +26,6 @@ from fog_spark.engine.superstep import (
     materialize_observed,
     maybe_broadcast,
     prepare_gather_edges,
-    vertices_of,
     with_frontier_hint,
 )
 
@@ -43,32 +42,56 @@ def sssp(
     n_salts: int = 16,
 ) -> DataFrame:
     """Returns (id, dist, pred); unreached = (inf, -1). Requires a weight column."""
-    vertices = vertices if vertices is not None else vertices_of(edges)
     fwd = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
 
-    salted, hubs = False, None
-    if hub_threshold is not None:
-        # persist the tiny hub set, not the tagged frame — see bfs.py
-        hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
-        if salted:
-            fwd = tag_hubs(fwd, hubs)
-
-    state = vertices.select(
+    # fused vertex set + hub-key in-degree — see bfs.py
+    if vertices is None:
+        dv = (
+            edges.select(F.col("src").alias("id"), F.lit(0).alias("_d"))
+            .unionByName(
+                edges.select(
+                    F.col("dst").alias("id"),
+                    (F.col("src") != F.col("dst")).cast("int").alias("_d"),
+                )
+            )
+            .groupBy("id")
+            .agg(F.sum("_d").alias("indeg"))
+        )
+    else:
+        dv = vertices.select("id").withColumn("indeg", F.lit(None).cast("long"))
+    state = dv.select(
         "id",
         F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(float("inf"))).alias("dist"),
         F.lit(-1).cast("long").alias("pred"),
         (F.col("id") == source).alias("changed"),
+        "indeg",
     )
     start_step = 0
+    resumed = False
     if ctx is not None:
         rp = ctx.resume_point_at_most(max_iters)
         if rp is not None:
             start_step, state = rp
+            resumed = True
     if start_step == 0:
         state = materialize(state, ctx, 0)
     n_vertices = state.count()
     active = state.filter("changed").count() if start_step else 1
+
+    salted, hubs = False, None
+    if hub_threshold is not None:
+        if resumed or vertices is not None:
+            hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
+        else:
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+        if salted:
+            fwd = tag_hubs(fwd, hubs)
+        else:
+            hubs.unpersist()
+            hubs = None
+    if "indeg" in state.columns:
+        state = state.select("id", "dist", "pred", "changed")
     # gather-aligned edge cache (superstep.prepare_gather_edges): zero
     # shuffle exchanges per superstep in the broadcast-state regime
     prepared = prepare_gather_edges(fwd, n_vertices, salted)

@@ -30,7 +30,12 @@ def sweep_cut(
     """(k, id, phi_r): the conductance sweep curve over the top-``topk``
     vertices of ``ranks`` (id, rank), ordered by round(rank/deg, 9)
     descending with id tie-break, on the SYMMETRIZED simple graph of
-    ``edges``. phi is rounded to 6 decimals."""
+    ``edges``. phi is rounded to 6 decimals.
+
+    When the prefix reaches the full graph volume (vol == 2m, e.g.
+    topk >= coverage on a small graph), conductance is undefined —
+    min(vol, 2m - vol) = 0 — and ``phi_r`` is NULL for those rows by
+    design (the DuckDB oracle computes the identical NULL)."""
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))

@@ -42,7 +42,12 @@ def document_offsets(
     """(id, n_tok, start): global token offset of each document in
     id-order corpus concatenation. Zero-token documents keep a row
     (n_tok = 0) but occupy no tokens."""
-    n_tok = F.size(F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0))
+    # NULL text tokenizes like the empty string (size/regexp over NULL
+    # would otherwise NULL the partition subtotals and crash the driver
+    # cumsum with int(None))
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(TOKEN_RE), 0)
+    )
     ledger = docs.select(F.col(id_col).alias("id"), n_tok.cast("long").alias("n_tok"))
     parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # one concrete RDD so the subtotal pass and the local-cumsum pass
@@ -59,7 +64,7 @@ def document_offsets(
     base, acc = [], 0
     for r in subtotals:
         base.append((r["pid"], acc))
-        acc += int(r["tot"])
+        acc += int(r["tot"] or 0)
     base_df = F.broadcast(
         docs.sparkSession.createDataFrame(base or [(0, 0)], ["pid", "base"])
     )

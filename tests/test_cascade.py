@@ -101,3 +101,20 @@ def test_percolation_curve_replay(spark):
     # monotone: keeping more edges never shrinks the giant component
     mx = [got[p][2] for p in p_nums]
     assert mx == sorted(mx)
+
+
+def test_influence_spread_dedups_duplicate_seeds(spark):
+    """ADVICE r5: duplicate seed ids (e.g. CLI --seeds 3,3) must not
+    inflate reach or emit duplicate (seed, sample) rows."""
+    import pandas as pd
+
+    from fog_spark.algorithms.cascade import influence_spread
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([(1, 2), (2, 3)], columns=["src", "dst"]))
+    dup = spark.createDataFrame(pd.DataFrame({"root": [1, 1]}))
+    uniq = spark.createDataFrame(pd.DataFrame({"root": [1]}))
+    got_dup = sorted(map(tuple, influence_spread(edges, dup, p_num=100, samples=2).collect()))
+    got_uniq = sorted(map(tuple, influence_spread(edges, uniq, p_num=100, samples=2).collect()))
+    assert got_dup == got_uniq
+    assert len(got_dup) == 2  # one row per (seed, sample)

@@ -79,3 +79,17 @@ def test_offsets_independent_of_partitioning(spark):
     assert many == one
     starts = {r[0]: r[2] for r in many}
     assert starts[0] == 0 and starts[2] == 4  # doc 1 is empty, no gap
+
+
+def test_document_offsets_tolerates_null_text(spark):
+    """ADVICE r5: a NULL text row must count as 0 tokens, not crash the
+    driver-side prefix sum with int(None)."""
+    from fog_spark.datapipe.packing import document_offsets
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None), (2, "gamma")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: (r["n_tok"], r["start"]) for r in document_offsets(docs).collect()}
+    assert rows[0] == (2, 0)
+    assert rows[1] == (0, 2)
+    assert rows[2] == (1, 2)
