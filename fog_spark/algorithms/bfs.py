@@ -19,6 +19,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    merge_join,
     prepare_gather_edges,
     with_frontier_hint,
 )
@@ -82,12 +83,15 @@ def bfs_levels(
             hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
         else:
             # hub keys read off the cached state — no separate probe scan
-            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
         salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
+            # cut lineage: the tag join must not alias the state subtree
+            # into the edge table (ambiguous self-join with the loop's
+            # state references)
+            hubs = hubs.localCheckpoint(eager=True)
             fwd = tag_hubs(fwd, hubs)
         else:
-            hubs.unpersist()
             hubs = None
     if "indeg" in state.columns:
         state = state.select("id", "level", "changed")
@@ -110,11 +114,7 @@ def bfs_levels(
             agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
         state = (
             # fan-out guard: the agg is bounded by |V|, not frontier * 64
-            state.join(
-                maybe_broadcast(agg, min(active * 64, n_vertices)),
-                state["id"] == agg["dst"],
-                "left",
-            )
+            merge_join(state, agg, state["id"] == agg["dst"], min(active * 64, n_vertices))
             .select(
                 "id",
                 F.least("level", F.coalesce("cand", F.col("level"))).alias("level"),

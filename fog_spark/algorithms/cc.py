@@ -34,6 +34,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    merge_join,
     prepare_gather_edges,
     symmetrize,
     with_frontier_hint,
@@ -124,12 +125,15 @@ def connected_components(
             hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
         else:
             # hub keys read off the cached state — no separate probe scan
-            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
         salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
+            # cut lineage: the tag join must not alias the state subtree
+            # into the edge table (ambiguous self-join with the loop's
+            # state references)
+            hubs = hubs.localCheckpoint(eager=True)
             sym = tag_hubs(sym, hubs)
         else:
-            hubs.unpersist()
             hubs = None
     if "deg" in state.columns:
         state = state.select("id", "comp", "changed")
@@ -153,11 +157,7 @@ def connected_components(
         state = (
             # fan-out guard: the agg can have far more rows than the
             # frontier (hub out-neighborhoods) but never more than |V|
-            state.join(
-                maybe_broadcast(agg, min(active * 64, n_vertices)),
-                state["id"] == agg["dst"],
-                "left",
-            )
+            merge_join(state, agg, state["id"] == agg["dst"], min(active * 64, n_vertices))
             .select(
                 "id",
                 F.least("comp", F.coalesce("new_comp", F.col("comp"))).alias("comp"),

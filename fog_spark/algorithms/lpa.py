@@ -32,6 +32,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    merge_join,
     prepare_gather_edges,
     symmetrize,
 )
@@ -95,6 +96,8 @@ def label_propagation(
             hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
         salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
+            # cut lineage — see cc.py
+            hubs = hubs.localCheckpoint(eager=True)
             sym = tag_hubs(sym0, hubs)
     if "deg" in state.columns:
         state = state.select("id", "label")
@@ -122,7 +125,7 @@ def label_propagation(
             F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("lbl"))).alias("b")
         ).select("dst", F.col("b.lbl").alias("new_label"))
         state = (
-            state.join(maybe_broadcast(best, n), state["id"] == best["dst"], "left")
+            merge_join(state, best, state["id"] == best["dst"], n)
             .select(
                 "id",
                 F.coalesce("new_label", F.col("label")).alias("label"),

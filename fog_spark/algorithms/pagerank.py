@@ -50,6 +50,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    merge_join,
     prepare_gather_edges,
     vertices_of,
 )
@@ -150,12 +151,15 @@ def pagerank_fog(
         else:
             # hub keys read off the cached state (indeg) — no separate
             # full-edge-table probe aggregation job
-            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
             salted = not hubs.isEmpty()
             if salted:
+                # cut lineage: the tag join must not alias the state
+                # subtree into the edge table (ambiguous self-join with
+                # the loop's state references)
+                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
             else:
-                hubs.unpersist()
                 hubs = None
     if "indeg" in state.columns:
         state = state.select("id", "outdeg", "rank")
@@ -192,7 +196,7 @@ def pagerank_fog(
             else:
                 agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
         state = (
-            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            merge_join(state, agg, state["id"] == agg["dst"], n)
             .select("id", "outdeg", (F.col("rank") + F.coalesce("incoming", F.lit(0.0))).alias("rank"))
         )
         state = materialize(state, ctx, step)
@@ -287,12 +291,13 @@ def pagerank_standard(
     salted, hubs = False, None
     if hub_threshold is not None:
         if base is not None:
-            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
             salted = not hubs.isEmpty()
             if salted:
+                # cut lineage — see pagerank_fog
+                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
             else:
-                hubs.unpersist()
                 hubs = None
         else:  # resumed: no cached indeg frame — probe the edge table
             edges, salted, hubs = _hub_tagged(edges, hub_threshold)
@@ -319,7 +324,7 @@ def pagerank_standard(
         else:
             agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
         state = (
-            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            merge_join(state, agg, state["id"] == agg["dst"], n)
             .select(
                 "id",
                 "outdeg",
@@ -420,7 +425,7 @@ def pagerank_weighted(
         )
         agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
         state = (
-            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            merge_join(state, agg, state["id"] == agg["dst"], n)
             .select(
                 "id",
                 "has_out",
@@ -533,12 +538,13 @@ def pagerank_personalized(
         if resumed:
             edges, salted, hubs = _hub_tagged(edges, hub_threshold)
         else:
-            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
             salted = not hubs.isEmpty()
             if salted:
+                # cut lineage — see pagerank_fog
+                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
             else:
-                hubs.unpersist()
                 hubs = None
     prepared = prepare_gather_edges(edges, n, salted)
     owned_cache = prepared is not edges
@@ -559,7 +565,7 @@ def pagerank_personalized(
         else:
             agg = msgs.groupBy("dst").agg(F.sum("msg").alias("contrib"))
         state = (
-            state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+            merge_join(state, agg, state["id"] == agg["dst"], n)
             .select(
                 "id",
                 "outdeg",

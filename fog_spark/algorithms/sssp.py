@@ -25,6 +25,7 @@ from fog_spark.engine.superstep import (
     materialize,
     materialize_observed,
     maybe_broadcast,
+    merge_join,
     prepare_gather_edges,
     with_frontier_hint,
 )
@@ -83,12 +84,15 @@ def sssp(
         if resumed or vertices is not None:
             hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
         else:
-            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst")).persist()
+            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
         salted = not hubs.isEmpty()  # take(1) probe, not a full count job
         if salted:
+            # cut lineage: the tag join must not alias the state subtree
+            # into the edge table (ambiguous self-join with the loop's
+            # state references)
+            hubs = hubs.localCheckpoint(eager=True)
             fwd = tag_hubs(fwd, hubs)
         else:
-            hubs.unpersist()
             hubs = None
     if "indeg" in state.columns:
         state = state.select("id", "dist", "pred", "changed")
@@ -115,13 +119,12 @@ def sssp(
             agg = skewed_gather(msgs, "dst", [("min", "cand", "cand")], n_salts)
         else:
             agg = msgs.groupBy("dst").agg(F.min("cand").alias("cand"))
-        # fan-out guard: the agg is bounded by |V|, not frontier * 64
-        agg = maybe_broadcast(agg, min(active * 64, n_vertices))
         absorb = (F.col("cand.dist") < F.col("dist")) & (
             F.abs(F.col("cand.dist") - F.col("dist")) > EPS
         )
         state = (
-            state.join(agg, state["id"] == agg["dst"], "left")
+            # fan-out guard: the agg is bounded by |V|, not frontier * 64
+            merge_join(state, agg, state["id"] == agg["dst"], min(active * 64, n_vertices))
             .select(
                 "id",
                 F.when(absorb, F.col("cand.dist")).otherwise(F.col("dist")).alias("dist"),

@@ -44,6 +44,31 @@ def maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
     return df
 
 
+# Above this many (estimated) gather-output rows, the per-superstep
+# state⟕gather merge stops broadcasting the gather side and plans a
+# SHUFFLE_HASH join instead: rebuilding a multi-MB broadcast relation
+# every superstep is a serial driver roundtrip, while the two small
+# exchanges parallelize (measured at sf0.1: n=200k state, 5 supersteps —
+# broadcast 2.18-2.84s vs shuffle_hash 1.73-2.06s; at n=20k the tiny
+# broadcast still wins, 2.30 vs 2.47). The shuffle-hash shape is also
+# the only one that remains valid when the gather output outgrows
+# broadcastability entirely, so this doubles as the scale regime.
+BROADCAST_MERGE_MAX = 100_000
+
+
+def merge_join(state: DataFrame, agg: DataFrame, cond, est_rows: int | None) -> DataFrame:
+    """The superstep merge ``state ⟕ agg`` with a size-chosen strategy.
+
+    ``est_rows`` is the caller's bound on the gather output (|V| for
+    dense gathers like PageRank; min(active·64, |V|) for frontier
+    algorithms, whose late rounds produce tiny aggregates where the
+    broadcast is by far the cheaper plan).
+    """
+    if est_rows is not None and 0 <= est_rows <= BROADCAST_MERGE_MAX:
+        return state.join(F.broadcast(agg), cond, "left")
+    return state.join(agg.hint("shuffle_hash"), cond, "left")
+
+
 def prepare_edges(edges: DataFrame, key: str = "src", partitions: int | None = None) -> DataFrame:
     """Hash-partition the edge table by the scatter join key and cache it.
 
