@@ -19,15 +19,18 @@ from pyspark.sql import DataFrame, functions as F
 
 from fog_spark.engine.superstep import vertices_of
 
-# Oriented-edge count below which the wedge and closure joins build
-# broadcast hash relations instead of exchanging (guide-style deliberate
-# join-strategy choice): the O(Σ out·in) wedge stream — 40x |o| on the
-# bench graph — then flows from the cached scan through two in-memory
-# hash probes inside ONE codegen stage, never crossing an exchange.
-# Cost: ~40 MB of broadcast per 1M oriented edges on every executor, so
-# above the cap the exchange-based merge/shuffle_hash plan remains the
-# scale path (a broadcast relation must fit executor memory).
-TRIANGLE_BROADCAST_MAX_EDGES = int(os.environ.get("FOGSPARK_TRIANGLE_BC_MAX", "4000000"))
+# Oriented-edge count below which triangle counting runs the broadcast
+# sorted-adjacency edge-iterator (guide-style deliberate join-strategy
+# choice): the O(Σ out·in) wedge stream — 40x |o| on the bench graph —
+# is then never materialized, exchanged, or probed row by row; each
+# edge intersects two in-memory arrays inside ONE codegen stage.
+# Cost: the adjacency relation is ~8 bytes per oriented edge plus
+# per-vertex overhead (~64 MB at the 8M default) held by every
+# executor; above the cap the exchange-based merge/shuffle_hash plan
+# remains the scale path (a broadcast relation must fit executor
+# memory). Measured at 4.78M oriented edges / 32 cores: adjacency path
+# 3.8-7.1s vs exchange path 9.9-15.0s for the full count.
+TRIANGLE_BROADCAST_MAX_EDGES = int(os.environ.get("FOGSPARK_TRIANGLE_BC_MAX", "8000000"))
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
