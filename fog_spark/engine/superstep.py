@@ -48,12 +48,13 @@ def maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
 # state⟕gather merge stops broadcasting the gather side and plans a
 # SHUFFLE_HASH join instead: rebuilding a multi-MB broadcast relation
 # every superstep is a serial driver roundtrip, while the two small
-# exchanges parallelize (measured at sf0.1: n=200k state, 5 supersteps —
-# broadcast 2.18-2.84s vs shuffle_hash 1.73-2.06s; at n=20k the tiny
-# broadcast still wins, 2.30 vs 2.47). The shuffle-hash shape is also
-# the only one that remains valid when the gather output outgrows
-# broadcastability entirely, so this doubles as the scale regime.
-BROADCAST_MERGE_MAX = 100_000
+# exchanges parallelize. Calibrated on full superstep loops (32 cores,
+# warm): n=20k — broadcast 2.30s vs shuffle_hash 2.47s /10 steps;
+# n=80k — broadcast 5.59s vs shuffle_hash 3.30s; n=200k — 2.18-2.84s
+# vs 1.73-2.06s /5 steps. The shuffle-hash shape is also the only one
+# that remains valid when the gather output outgrows broadcastability
+# entirely, so this doubles as the scale regime.
+BROADCAST_MERGE_MAX = 50_000
 
 
 def merge_join(state: DataFrame, agg: DataFrame, cond, est_rows: int | None) -> DataFrame:
