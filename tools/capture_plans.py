@@ -91,7 +91,13 @@ msgs = prepared.join(st, prepared["src"] == st["id"]).select(
     prepared["dst"], (d * F.col("rank") / F.col("outdeg") + (1.0 - d)).alias("msg")
 )
 agg = msgs.groupBy("dst").agg(F.sum("msg").alias("incoming"))
-step = state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left").select(
+try:
+    from fog_spark.engine.superstep import merge_join
+
+    joined = merge_join(state, agg, state["id"] == agg["dst"], n)
+except ImportError:
+    joined = state.join(maybe_broadcast(agg, n), state["id"] == agg["dst"], "left")
+step = joined.select(
     "id", "outdeg", (F.col("rank") + F.coalesce("incoming", F.lit(0.0))).alias("rank")
 )
 dump("pagerank_superstep", step)
