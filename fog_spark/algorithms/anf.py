@@ -70,8 +70,12 @@ def _bounded_bottom_k_merge(unioned: DataFrame, k: int) -> DataFrame:
     the same per-task memory as a leaf (the flatten/collect_list form
     materializes deg*k hashes in ONE buffer — executor-OOM at scale).
     The window's groupBy reuses the window exchange's hash(id)
-    clustering, so the merge is two narrow-row exchanges per round."""
-    pairs = unioned.select("id", F.explode("hvs").alias("h")).distinct()
+    clustering, so the merge is two narrow-row exchanges per round.
+    explode_outer (not explode) keeps ids whose every input sketch is
+    empty: their null placeholder survives the rank and collect_list
+    skips it, yielding the same empty-array row the flatten merge
+    produced instead of dropping the vertex."""
+    pairs = unioned.select("id", F.explode_outer("hvs").alias("h")).distinct()
     w = Window.partitionBy("id").orderBy("h")
     ranked = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
     return ranked.groupBy("id").agg(F.array_sort(F.collect_list("h")).alias("hvs"))

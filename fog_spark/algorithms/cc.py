@@ -28,12 +28,11 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, pick_hub_keys, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
     active_metric,
     materialize,
     materialize_observed,
-    maybe_broadcast,
     merge_join,
     prepare_gather_edges,
     symmetrize,
@@ -122,19 +121,14 @@ def connected_components(
     if hub_threshold is not None:
         if resumed or vertices is not None:
             # no cached sym-degree available — probe the edge table
-            hubs = top_degree_keys(sym, "dst", hub_threshold).persist()
+            salted, hubs = pick_hub_keys(probe=top_degree_keys(sym, "dst", hub_threshold))
         else:
             # hub keys read off the cached state — no separate probe scan
-            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+            salted, hubs = pick_hub_keys(
+                state_keys=state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
         if salted:
-            # cut lineage: the tag join must not alias the state subtree
-            # into the edge table (ambiguous self-join with the loop's
-            # state references)
-            hubs = hubs.localCheckpoint(eager=True)
             sym = tag_hubs(sym, hubs)
-        else:
-            hubs = None
     if "deg" in state.columns:
         state = state.select("id", "comp", "changed")
     # gather-aligned edge cache: zero shuffle exchanges per superstep in

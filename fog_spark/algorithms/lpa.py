@@ -26,7 +26,7 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, pick_hub_keys, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
     active_metric,
     materialize,
@@ -87,17 +87,16 @@ def label_propagation(
         state = materialize(state, ctx, 0)
     n = state.count()
 
-    salted = False
+    salted, hubs = False, None
     if hub_threshold is not None:
         if resumed or vertices is not None:
-            hubs = top_degree_keys(sym0, "dst", hub_threshold)
+            salted, hubs = pick_hub_keys(probe=top_degree_keys(sym0, "dst", hub_threshold))
         else:
             # hub keys read off the cached state — no separate probe scan
-            hubs = state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+            salted, hubs = pick_hub_keys(
+                state_keys=state.filter(F.col("deg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
         if salted:
-            # cut lineage — see cc.py
-            hubs = hubs.localCheckpoint(eager=True)
             sym = tag_hubs(sym0, hubs)
     if "deg" in state.columns:
         state = state.select("id", "label")
@@ -142,4 +141,6 @@ def label_propagation(
 
     sym.unpersist()
     sym0.unpersist()  # no-op when already dropped above
+    if hubs is not None:
+        hubs.unpersist()  # no-op for the checkpointed form
     return state.select("id", "label")

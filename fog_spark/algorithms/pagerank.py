@@ -44,7 +44,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, pick_hub_keys, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
     degrees_and_vertices,
     materialize,
@@ -151,16 +151,11 @@ def pagerank_fog(
         else:
             # hub keys read off the cached state (indeg) — no separate
             # full-edge-table probe aggregation job
-            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
-            salted = not hubs.isEmpty()
+            salted, hubs = pick_hub_keys(
+                state_keys=state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
             if salted:
-                # cut lineage: the tag join must not alias the state
-                # subtree into the edge table (ambiguous self-join with
-                # the loop's state references)
-                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
-            else:
-                hubs = None
     if "indeg" in state.columns:
         state = state.select("id", "outdeg", "rank")
     if kernel != "csr":
@@ -291,14 +286,11 @@ def pagerank_standard(
     salted, hubs = False, None
     if hub_threshold is not None:
         if base is not None:
-            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
-            salted = not hubs.isEmpty()
+            salted, hubs = pick_hub_keys(
+                state_keys=base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
             if salted:
-                # cut lineage — see pagerank_fog
-                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
-            else:
-                hubs = None
         else:  # resumed: no cached indeg frame — probe the edge table
             edges, salted, hubs = _hub_tagged(edges, hub_threshold)
     state = state.select("id", "outdeg", "rank", "prev")
@@ -538,14 +530,11 @@ def pagerank_personalized(
         if resumed:
             edges, salted, hubs = _hub_tagged(edges, hub_threshold)
         else:
-            hubs = base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
-            salted = not hubs.isEmpty()
+            salted, hubs = pick_hub_keys(
+                state_keys=base.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
             if salted:
-                # cut lineage — see pagerank_fog
-                hubs = hubs.localCheckpoint(eager=True)
                 edges = tag_hubs(edges, hubs)
-            else:
-                hubs = None
     prepared = prepare_gather_edges(edges, n, salted)
     owned_cache = prepared is not edges
     edges = prepared

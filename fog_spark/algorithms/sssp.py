@@ -19,12 +19,11 @@ import time
 
 from pyspark.sql import DataFrame, functions as F
 
-from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, skewed_gather, tag_hubs, top_degree_keys
+from fog_spark.engine.skew import HUB_DEGREE_THRESHOLD, HUB_FLAG, pick_hub_keys, skewed_gather, tag_hubs, top_degree_keys
 from fog_spark.engine.superstep import (
     active_metric,
     materialize,
     materialize_observed,
-    maybe_broadcast,
     merge_join,
     prepare_gather_edges,
     with_frontier_hint,
@@ -82,18 +81,13 @@ def sssp(
     salted, hubs = False, None
     if hub_threshold is not None:
         if resumed or vertices is not None:
-            hubs = top_degree_keys(fwd, "dst", hub_threshold).persist()
+            salted, hubs = pick_hub_keys(probe=top_degree_keys(fwd, "dst", hub_threshold))
         else:
-            hubs = state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
-        salted = not hubs.isEmpty()  # take(1) probe, not a full count job
+            salted, hubs = pick_hub_keys(
+                state_keys=state.filter(F.col("indeg") > hub_threshold).select(F.col("id").alias("dst"))
+            )
         if salted:
-            # cut lineage: the tag join must not alias the state subtree
-            # into the edge table (ambiguous self-join with the loop's
-            # state references)
-            hubs = hubs.localCheckpoint(eager=True)
             fwd = tag_hubs(fwd, hubs)
-        else:
-            hubs = None
     if "indeg" in state.columns:
         state = state.select("id", "dist", "pred", "changed")
     # gather-aligned edge cache (superstep.prepare_gather_edges): zero

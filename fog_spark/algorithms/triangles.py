@@ -83,10 +83,15 @@ def _oriented_cached(edges: DataFrame) -> tuple[DataFrame, int]:
     deg = und.select(F.explode(F.array("a", "b")).alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).alias("deg")
     )
-    da = deg.select(F.col("v").alias("_va"), F.col("deg").alias("dega"))
-    db = deg.select(F.col("v").alias("_vb"), F.col("deg").alias("degb"))
     if 0 <= n_und <= TRIANGLE_BROADCAST_MAX_EDGES:
-        da, db = F.broadcast(da), F.broadcast(db)
+        # one materialization feeds both orientation joins (alias
+        # projections of the same leaf -> the broadcast is built once)
+        deg = deg.localCheckpoint(eager=True)
+        da = F.broadcast(deg.select(F.col("v").alias("_va"), F.col("deg").alias("dega")))
+        db = F.broadcast(deg.select(F.col("v").alias("_vb"), F.col("deg").alias("degb")))
+    else:
+        da = deg.select(F.col("v").alias("_va"), F.col("deg").alias("dega"))
+        db = deg.select(F.col("v").alias("_vb"), F.col("deg").alias("degb"))
     lt = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
@@ -113,8 +118,13 @@ def _closed_wedges(o: DataFrame) -> DataFrame:
     in-memory arrays inside one codegen stage. Per-group state in the
     adjacency build is bounded by the orientation's ~sqrt(2m) max
     out-degree. Small-regime only (the adjacency relation must fit an
-    executor)."""
-    adj = o.groupBy("lo").agg(F.array_sort(F.collect_list("hi")).alias("nb"))
+    executor).
+
+    The adjacency is checkpointed once: au/av are alias projections of
+    the SAME leaf, so the aggregation runs once and the two broadcast
+    exchanges canonicalize identically (reused at runtime) instead of
+    re-aggregating and double-broadcasting."""
+    adj = o.groupBy("lo").agg(F.array_sort(F.collect_list("hi")).alias("nb")).localCheckpoint(eager=True)
     au = F.broadcast(adj.select(F.col("lo").alias("_u"), F.col("nb").alias("nbu")))
     av = F.broadcast(adj.select(F.col("lo").alias("_v"), F.col("nb").alias("nbv")))
     # slice(nbu, 1, 0) = empty array of nbu's exact element type
@@ -202,7 +212,11 @@ def four_clique_total(edges: DataFrame) -> DataFrame:
     4-way enumeration does not)."""
     o, n_o = _oriented_cached(edges)
     tris = _triangle_stream(o, n_o)
-    small = 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES
+    # tighter gate than the triangle stream: this path holds THREE
+    # broadcast copies of the oriented pair table (extension probe +
+    # two closure semis) on top of the stream's adjacency relation, so
+    # the per-executor budget divides by the extra relations
+    small = 0 <= n_o <= TRIANGLE_BROADCAST_MAX_EDGES // 4
     ext_side = o.select(F.col("lo").alias("z"), F.col("hi").alias("w"))
     ext = tris.join(F.broadcast(ext_side) if small else ext_side.hint("shuffle_hash"), "z")
     c1s = o.select(F.col("lo").alias("y"), F.col("hi").alias("w"))

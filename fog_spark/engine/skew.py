@@ -52,6 +52,35 @@ HUB_DEGREE_THRESHOLD = 1_000_000
 HUB_FLAG = "_hub"
 
 
+def pick_hub_keys(
+    probe: "DataFrame | None" = None, state_keys: "DataFrame | None" = None
+) -> "tuple[bool, DataFrame | None]":
+    """Resolve the salted-gather hub-key set for a superstep loop.
+
+    Exactly one source is given:
+    - ``state_keys``: a candidate frame filtered off the loop's cached
+      state (the fused-preamble path). When non-empty it is
+      localCheckpoint'ed so the tag join never aliases the state
+      subtree into the edge table (ambiguous self-join with the loop's
+      state references).
+    - ``probe``: a lazy edge-table degree probe (resume / explicit-
+      vertices path). It is persisted for the emptiness probe; when
+      empty it is unpersisted immediately, otherwise returned persisted.
+
+    Returns (salted, hubs). A non-None hubs is always safe to
+    ``unpersist()`` at loop end (a no-op for the checkpointed form).
+    """
+    if state_keys is not None:
+        if state_keys.isEmpty():
+            return False, None
+        return True, state_keys.localCheckpoint(eager=True)
+    probe = probe.persist()
+    if probe.isEmpty():
+        probe.unpersist()
+        return False, None
+    return True, probe
+
+
 def tag_hubs(edges: DataFrame, hub_keys: DataFrame, key: str = "dst", flag: str = HUB_FLAG) -> DataFrame:
     """Mark edges whose ``key`` is a hub with a boolean ``flag`` column.
 

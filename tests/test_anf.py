@@ -143,3 +143,22 @@ def test_neighborhood_sketches_use_bounded_merge(spark):
     merged = _bounded_bottom_k_merge(state.unionByName(contrib), 16)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "flatten" not in plan.lower()
+
+
+def test_bounded_merge_keeps_empty_sketch_ids(spark):
+    """An id whose every input sketch is empty must survive the merge
+    with an empty array (the flatten merge kept it; explode would drop
+    it)."""
+    import pandas as pd
+
+    from fog_spark.algorithms.anf import _bounded_bottom_k_merge, _merged_bottom_k
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 0, 1], "hvs": [[], [], [7, 3]]})
+    )
+    bounded = {r["id"]: r["hvs"] for r in _bounded_bottom_k_merge(df, 4).collect()}
+    unbounded = {
+        r["id"]: r["hvs"]
+        for r in df.groupBy("id").agg(_merged_bottom_k(4).alias("hvs")).collect()
+    }
+    assert bounded == unbounded == {0: [], 1: [3, 7]}
