@@ -24,7 +24,7 @@ Physical notes (the part FOG does by hand that Spark gives us):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 # Below this many active vertices, hint the frontier join to broadcast
 # (replaces FOG's bitmap fast path, fogsrc/fog_engine.cpp:560-568).
